@@ -28,3 +28,12 @@ from torchao_tpu.quantization.granularity import (  # noqa: F401
     PerTensor,
     PerToken,
 )
+from torchao_tpu.quantization.quant_api import (  # noqa: F401
+    Float8DynamicActivationFloat8WeightConfig,
+    Float8WeightOnlyConfig,
+    Int4WeightOnlyConfig,
+    Int8DynamicActivationInt8WeightConfig,
+    Int8WeightOnlyConfig,
+    ModuleFqnToConfig,
+    quantize_,
+)

@@ -1,0 +1,316 @@
+"""Quantized linear dispatch.
+
+The explicit-registry replacement for the reference's
+``_AQT_QLINEAR_DISPATCH_TABLE`` + ``_quantized_linear_op``
+(``torchao/dtypes/affine_quantized_tensor_ops.py:113-296``): JAX has no
+``__torch_function__``, so models call :func:`linear` directly and the
+weight's type/static-metadata selects the implementation. Entries are
+``(name, check_fn, impl_fn)`` scanned in registration order; anything
+unmatched falls back to dequantize + high-precision dot (the reference's
+fallback at ``affine_quantized_tensor_ops.py:281-296``).
+
+Weight convention matches torch: ``w`` is ``[out_features, in_features]``
+and ``linear(x, w) = x @ w.T (+ bias)``.
+
+Kernel preference: each impl consults ``torchao_tpu.kernels`` for a Pallas
+kernel when running on TPU (KernelPreference.AUTO); the jnp path is both
+the CPU/testing fallback and the XLA-fusion baseline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu.qtypes.base import (
+    KernelPreference,
+    PackingFormat,
+    QuantizedArray,
+)
+from torchao_tpu.qtypes.composition import (
+    LinearActivationQuantizedArray,
+    WeightTensorWithLinearActivationScaleMetadata,
+    register_act_quant,
+)
+from torchao_tpu.qtypes.float8 import (
+    Float8Array,
+    quantize_activation_float8,
+)
+from torchao_tpu.qtypes.intx import IntxArray
+from torchao_tpu.quantization import quant_primitives as qp
+from torchao_tpu.quantization.quant_primitives import ZeroPointDomain
+
+_DISPATCH: List[Tuple[str, Callable, Callable]] = []
+
+
+def register_qlinear_dispatch(name: str, check: Callable, impl: Callable):
+    """Append a (check, impl) pair; first match wins (registration order,
+    mirroring ``register_aqt_quantized_linear_dispatch``)."""
+    _DISPATCH.append((name, check, impl))
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _use_pallas(preference: KernelPreference) -> bool:
+    if preference is KernelPreference.PALLAS:
+        return True
+    if preference is KernelPreference.XLA:
+        return False
+    return _on_tpu()
+
+
+def linear(
+    x: jnp.ndarray,
+    w,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    kernel_preference: KernelPreference = KernelPreference.AUTO,
+) -> jnp.ndarray:
+    """``x @ w.T + bias`` with quantized-weight dispatch.
+
+    ``w`` may be a plain jnp array or any registered QuantizedArray.
+    """
+    if not isinstance(w, QuantizedArray):
+        out = jnp.matmul(x, w.T)
+        return out + bias if bias is not None else out
+
+    for name, check, impl in _DISPATCH:
+        if check(x, w, bias):
+            return impl(x, w, bias, kernel_preference)
+
+    # fallback: dequant + hp linear
+    wd = w.dequantize(x.dtype)
+    out = jnp.matmul(x, wd.T)
+    return out + bias if bias is not None else out
+
+
+# ---------------------------------------------------------------------------
+# activation quantizers (registry keys referenced by configs)
+# ---------------------------------------------------------------------------
+
+
+@register_act_quant("int8_per_token_sym")
+def _int8_per_token_sym(x: jnp.ndarray):
+    """Per-token symmetric int8 with reduced range ±127 (reference
+    ``_int8_symm_per_token_reduced_range_quant``, ``quant_api.py:1258``)."""
+    return qp.quantize_activation_per_token_absmax(x)
+
+
+@register_act_quant("int8_per_token_asym")
+def _int8_per_token_asym(x: jnp.ndarray):
+    """Per-token asymmetric int8 (reference ``_int8_asymm_per_token_quant``
+    used by Int8DynamicActivationInt4WeightConfig)."""
+    block = qp.per_token_block_size(x)
+    scale, zp = qp.choose_qparams_affine(
+        x, qp.MappingType.ASYMMETRIC, block, "int8",
+        zero_point_dtype=jnp.int32,
+    )
+    q = qp.quantize_affine(x, block, scale, zp, "int8")
+    return q, scale, zp
+
+
+# ---------------------------------------------------------------------------
+# impls
+# ---------------------------------------------------------------------------
+
+
+def _check_int8_weight_only(x, w, bias):
+    return (
+        isinstance(w, IntxArray)
+        and w.target_dtype == "int8"
+        and w.zero_point_domain in (ZeroPointDomain.INT, ZeroPointDomain.NONE)
+        and w.packing_format is PackingFormat.PLAIN
+        and w.ndim == 2
+    )
+
+
+def _impl_int8_weight_only(x, w: IntxArray, bias, preference):
+    """int8wo hot path: hp matmul against cast int8 weight, scale epilogue.
+
+    Matches the reference's int8wo path (``plain_layout.py:250-266``):
+    ``(x @ w_q.T.to(x.dtype)) * scale`` — XLA fuses the cast+scale into the
+    matmul the way inductor does.
+    """
+    w_cast = w.qdata.T.astype(x.dtype)
+    out = jnp.matmul(x, w_cast)
+    # scale is [N] (per-channel along out features) or [N, k_groups]
+    scale = w.scale
+    if scale.ndim == 2 and scale.shape[1] == 1:
+        scale = scale[:, 0]
+    if scale.ndim == 1:
+        out = out * scale.astype(out.dtype)
+    else:  # groupwise int8: rare; dequant path
+        return _fallback(x, w, bias)
+    return out + bias if bias is not None else out
+
+
+def _check_int4_weight_only(x, w, bias):
+    return (
+        isinstance(w, IntxArray)
+        and w.ndim == 2
+        and (w.quant_max - w.quant_min) <= 15
+        and w.zero_point_domain is ZeroPointDomain.FLOAT
+    )
+
+
+def _impl_int4_weight_only(x, w: IntxArray, bias, preference):
+    """int4wo tinygemm-equivalent path.
+
+    Reference hot path is ``aten._weight_int4pack_mm``
+    (``tensor_core_tiled_layout.py:74-114``). TPU-natively this is the
+    fused dequant-matmul Pallas kernel; the XLA path dequantizes groupwise
+    and lets XLA fuse (still one pass over the weight).
+    """
+    if _use_pallas(preference):
+        from torchao_tpu.kernels import int4_matmul
+
+        impl = int4_matmul.int4_dq_matmul_available(x, w)
+        if impl is not None:
+            out = impl(x, w)
+            return out + bias if bias is not None else out
+    wd = w.dequantize(x.dtype)
+    out = jnp.matmul(x, wd.T)
+    return out + bias if bias is not None else out
+
+
+def _check_int8_dyn_act_int8_weight(x, w, bias):
+    return (
+        isinstance(w, LinearActivationQuantizedArray)
+        and w.input_quant_name == "int8_per_token_sym"
+        and isinstance(w.original_weight, IntxArray)
+        and w.original_weight.target_dtype == "int8"
+    )
+
+
+def _impl_int8_dyn_act_int8_weight(x, w, bias, preference):
+    """int8dq hot path: per-token int8 act × per-channel int8 weight on the
+    MXU with int32 accumulation, matching
+    ``_linear_int8_act_int8_weight_impl`` (``plain_layout.py:281-315``) /
+    ``int_scaled_matmul`` (``kernel/intmm.py:108``), with
+    ``lax.dot_general(..., preferred_element_type=int32)`` standing in for
+    ``safe_int_mm`` (SURVEY.md §2.7)."""
+    inner: IntxArray = w.original_weight
+    x_q, x_scale = w.quantize_input(x)
+
+    if _use_pallas(preference):
+        from torchao_tpu.kernels import int8_matmul
+
+        impl = int8_matmul.int8_scaled_matmul_available(x_q, inner)
+        if impl is not None:
+            out = impl(x_q, x_scale, inner, x.dtype)
+            return out + bias if bias is not None else out
+
+    # XLA path: int8 × int8 → int32 on the MXU, then scale epilogue
+    x2 = x_q.reshape(-1, x_q.shape[-1])
+    acc = jax.lax.dot_general(
+        x2,
+        inner.qdata,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    w_scale = inner.scale
+    if w_scale.ndim == 2 and w_scale.shape[1] == 1:
+        w_scale = w_scale[:, 0]
+    xs = x_scale.reshape(-1, 1).astype(jnp.float32)
+    out = acc.astype(jnp.float32) * xs * w_scale.astype(jnp.float32)[None, :]
+    out = out.reshape(x.shape[:-1] + (inner.shape[0],)).astype(x.dtype)
+    return out + bias if bias is not None else out
+
+
+def _check_fp8_weight(x, w, bias):
+    return isinstance(w, Float8Array) and w.ndim == 2
+
+
+def _impl_fp8_weight(x, w: Float8Array, bias, preference):
+    """fp8 paths: weight-only (no act spec) = cast-dequant matmul;
+    dynamic-activation (spec on weight) = fp8×fp8 with rowwise scales,
+    matching ``_linear_fp8_act_fp8_weight_impl``
+    (``float8_layout.py:329-367``) / Float8Tensor linear."""
+    if w.act_quant_spec is None:
+        wd = w.dequantize(x.dtype)
+        out = jnp.matmul(x, wd.T)
+        return out + bias if bias is not None else out
+
+    x_q, x_scale = quantize_activation_float8(x, w.act_quant_spec)
+
+    if _use_pallas(preference):
+        from torchao_tpu.kernels import fp8_matmul
+
+        impl = fp8_matmul.fp8_rowwise_matmul_available(x_q, w)
+        if impl is not None:
+            out = impl(x_q, x_scale, w, x.dtype)
+            return out + bias if bias is not None else out
+
+    x2 = x_q.reshape(-1, x_q.shape[-1])
+    acc = jax.lax.dot_general(
+        x2,
+        w.qdata,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w_scale = w.scale
+    if w_scale.ndim == 2 and w_scale.shape[1] == 1:
+        w_scale = w_scale[:, 0]
+    xs = x_scale.reshape(-1, 1).astype(jnp.float32)
+    out = acc * xs * w_scale.astype(jnp.float32)[None, :]
+    out = out.reshape(x.shape[:-1] + (w.shape[0],)).astype(x.dtype)
+    return out + bias if bias is not None else out
+
+
+def _check_laqt_generic(x, w, bias):
+    return isinstance(w, LinearActivationQuantizedArray)
+
+
+def _impl_laqt_generic(x, w, bias, preference):
+    """Generic dynamic-act path: quantize input, dequant both, hp matmul —
+    the correctness fallback of ``LinearActivationQuantizedTensor``
+    (``linear_activation_quantized_tensor.py:135``)."""
+    inner = w.original_weight
+    wd = inner.dequantize(x.dtype)
+    out = jnp.matmul(x, wd.T)
+    return out + bias if bias is not None else out
+
+
+def _check_smoothquant_scale(x, w, bias):
+    return isinstance(w, WeightTensorWithLinearActivationScaleMetadata)
+
+
+def _impl_smoothquant_scale(x, w, bias, preference):
+    x_scaled = x / w.equalization_scale.astype(x.dtype)
+    return linear(x_scaled, w.original_weight, bias,
+                  kernel_preference=preference)
+
+
+def _fallback(x, w, bias):
+    wd = w.dequantize(x.dtype)
+    out = jnp.matmul(x, wd.T)
+    return out + bias if bias is not None else out
+
+
+# registration order matters (first match wins), mirroring
+# affine_quantized_tensor_ops.py:191-262
+register_qlinear_dispatch(
+    "smoothquant_scale", _check_smoothquant_scale, _impl_smoothquant_scale
+)
+register_qlinear_dispatch(
+    "int8_dyn_act_int8_weight",
+    _check_int8_dyn_act_int8_weight,
+    _impl_int8_dyn_act_int8_weight,
+)
+register_qlinear_dispatch(
+    "laqt_generic", _check_laqt_generic, _impl_laqt_generic
+)
+register_qlinear_dispatch(
+    "int8_weight_only", _check_int8_weight_only, _impl_int8_weight_only
+)
+register_qlinear_dispatch(
+    "int4_weight_only", _check_int4_weight_only, _impl_int4_weight_only
+)
+register_qlinear_dispatch("fp8_weight", _check_fp8_weight, _impl_fp8_weight)

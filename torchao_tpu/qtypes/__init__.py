@@ -1,0 +1,23 @@
+from torchao_tpu.qtypes.base import (  # noqa: F401
+    KernelPreference,
+    PackingFormat,
+    QuantizedArray,
+    qarray_dataclass,
+    static_field,
+)
+from torchao_tpu.qtypes.composition import (  # noqa: F401
+    LinearActivationQuantizedArray,
+    WeightTensorWithLinearActivationScaleMetadata,
+    register_act_quant,
+)
+from torchao_tpu.qtypes.float8 import (  # noqa: F401
+    Float8ActQuantSpec,
+    Float8Array,
+)
+from torchao_tpu.qtypes.intx import IntxArray  # noqa: F401
+from torchao_tpu.qtypes.packing import (  # noqa: F401
+    pack_int4,
+    pack_uintx,
+    unpack_int4,
+    unpack_uintx,
+)

@@ -1,0 +1,120 @@
+"""Base machinery for quantized array pytrees.
+
+TPU-native equivalent of the reference's ``TorchAOBaseTensor``
+(``torchao/utils.py:693``): where the reference uses tensor subclasses with
+``__torch_dispatch__`` + declarative ``tensor_data_names`` /
+``tensor_attribute_names`` flatten rules, here a quantized array is a frozen
+dataclass registered as a JAX pytree — array fields are leaves (so
+``jax.jit``, sharding, donation and serialization all work for free) and
+everything else is static aux data baked into the trace.
+
+Also hosts the packing-format enum (the v2 ``PackingFormat`` analog,
+reference ``quantize_/common/packing_format.py:12``) and the kernel
+preference knob (reference ``quantize_/common/kernel_preference.py:14``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PackingFormat(str, enum.Enum):
+    """How sub-byte quantized data is laid out in memory.
+
+    TPU-native analog of the reference ``PackingFormat``
+    (``packing_format.py:12``): PLAIN = unpacked int8 storage;
+    TILED_NIBBLES = two int4 values per int8 byte, *half-split* along the
+    contraction axis (byte ``[n, k]`` holds ``w[n, k]`` in the low nibble
+    and ``w[n, k + K/2]`` in the high nibble) so a Pallas kernel unpacks
+    into two contiguous lane-aligned blocks without any interleave shuffle —
+    the TPU replacement for tinygemm's tensor-core tiled layout
+    (``tensor_core_tiled_layout.py:118``).
+    """
+
+    PLAIN = "plain"
+    TILED_NIBBLES = "tiled_nibbles"
+
+
+class KernelPreference(str, enum.Enum):
+    """Which implementation backs a quantized op (reference
+    ``kernel_preference.py:14``): AUTO picks Pallas when available on the
+    current backend, XLA forces the jnp fallback path, PALLAS forces the
+    Pallas kernel."""
+
+    AUTO = "auto"
+    XLA = "xla"
+    PALLAS = "pallas"
+
+
+def qarray_dataclass(cls):
+    """Class decorator: frozen dataclass + pytree registration.
+
+    Fields with ``metadata={"static": True}`` become pytree aux data
+    (hashable, baked into jit traces); all other fields are child leaves.
+    This is the declarative flatten/unflatten contract mirroring the
+    reference's ``tensor_data_names``/``tensor_attribute_names``
+    (``torchao/utils.py:726-760``).
+    """
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    data_fields = []
+    meta_fields = []
+    for f in dataclasses.fields(cls):
+        if f.metadata.get("static", False):
+            meta_fields.append(f.name)
+        else:
+            data_fields.append(f.name)
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+    cls.__qarray_data_fields__ = tuple(data_fields)
+    cls.__qarray_meta_fields__ = tuple(meta_fields)
+    return cls
+
+
+def static_field(**kwargs):
+    """A dataclass field that is pytree aux data (static under jit)."""
+    metadata = dict(kwargs.pop("metadata", {}))
+    metadata["static"] = True
+    return dataclasses.field(metadata=metadata, **kwargs)
+
+
+class QuantizedArray:
+    """Mixin-style base for quantized array pytrees.
+
+    Subclasses are ``@qarray_dataclass``es holding quantized payload
+    (``qdata``), qparams (``scale`` / ``zero_point``) and static layout
+    metadata. The logical (unquantized) shape is exposed via ``.shape``.
+    """
+
+    # --- logical view -----------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        """The high-precision dtype this array dequantizes to by default."""
+        return getattr(self, "activation_dtype", jnp.bfloat16)
+
+    def dequantize(self, output_dtype=None) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # --- convenience ------------------------------------------------------
+    def nbytes(self) -> int:
+        return sum(
+            getattr(self, name).size * getattr(self, name).dtype.itemsize
+            for name in self.__qarray_data_fields__
+            if getattr(self, name) is not None
+        )
+
+    def _replace(self, **updates):
+        return dataclasses.replace(self, **updates)

@@ -1,0 +1,188 @@
+"""IntxArray — the AffineQuantizedTensor equivalent for integer dtypes.
+
+Covers the reference's ``AffineQuantizedTensor`` + intx layouts
+(``torchao/dtypes/affine_quantized_tensor.py:57``, plain layout
+``uintx/plain_layout.py``, tinygemm tiled layout
+``uintx/tensor_core_tiled_layout.py``) as a single JAX pytree class with a
+static ``PackingFormat`` instead of a TensorImpl subclass registry:
+
+- ``qdata``: int8/uint8 (PLAIN, any 1-8 bit target) or uint8 half-split
+  nibbles (TILED_NIBBLES, int4/uint4 only)
+- ``scale`` / ``zero_point``: blocked shape (input shape // block_size)
+- static metadata: block_size, target dtype name, qmin/qmax, zero-point
+  domain, packing format, logical shape
+
+Construction mirrors ``to_affine_quantized_intx``
+(``affine_quantized_tensor.py:232-330`` ``from_hp_to_intx``): the
+zero-point-domain decides which choose/quantize primitive runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+
+from torchao_tpu.qtypes.base import (
+    PackingFormat,
+    QuantizedArray,
+    qarray_dataclass,
+    static_field,
+)
+from torchao_tpu.qtypes.packing import pack_int4, unpack_int4
+from torchao_tpu.quantization import quant_primitives as qp
+from torchao_tpu.quantization.quant_primitives import (
+    MappingType,
+    ZeroPointDomain,
+)
+
+
+@qarray_dataclass
+class IntxArray(QuantizedArray):
+    qdata: jnp.ndarray
+    scale: jnp.ndarray
+    zero_point: Optional[jnp.ndarray]
+    block_size: Tuple[int, ...] = static_field()
+    target_dtype: str = static_field(default="int8")
+    quant_min: Union[int, float] = static_field(default=None)
+    quant_max: Union[int, float] = static_field(default=None)
+    zero_point_domain: ZeroPointDomain = static_field(
+        default=ZeroPointDomain.INT
+    )
+    packing_format: PackingFormat = static_field(default=PackingFormat.PLAIN)
+    logical_shape: Tuple[int, ...] = static_field(default=None)
+    activation_dtype: str = static_field(default="bfloat16")
+
+    # --- pytree-facing ----------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        if self.logical_shape is not None:
+            return tuple(self.logical_shape)
+        return self.qdata.shape
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.activation_dtype)
+
+    @property
+    def nbits(self) -> int:
+        name = self.target_dtype.lstrip("u").replace("int", "")
+        return int(name) if name.isdigit() else 8
+
+    # --- construction -----------------------------------------------------
+    @classmethod
+    def from_hp(
+        cls,
+        w: jnp.ndarray,
+        mapping_type: MappingType,
+        block_size: Sequence[int],
+        target_dtype: str,
+        quant_min=None,
+        quant_max=None,
+        eps: Optional[float] = None,
+        scale_dtype=None,
+        zero_point_dtype=None,
+        zero_point_domain: ZeroPointDomain = ZeroPointDomain.INT,
+        preserve_zero: bool = True,
+        packing_format: PackingFormat = PackingFormat.PLAIN,
+    ) -> "IntxArray":
+        """Quantize a high-precision weight.
+
+        Semantics per zero-point domain (reference ``from_hp_to_intx``,
+        ``affine_quantized_tensor.py:268-320``):
+          - FLOAT & not preserve_zero → tinygemm choose/quantize
+          - INT & not preserve_zero → dont_preserve_zero choose, INT quantize
+          - NONE → symmetric, no zero point stored
+          - INT & preserve_zero → standard affine
+        """
+        quant_min, quant_max = qp.qmin_qmax(target_dtype, quant_min, quant_max)
+        if zero_point_domain is ZeroPointDomain.FLOAT and not preserve_zero:
+            scale, zero_point = qp.choose_qparams_affine_tinygemm(
+                w, mapping_type, block_size, target_dtype, quant_min,
+                quant_max, eps, scale_dtype, zero_point_dtype,
+            )
+            qdata = qp.quantize_affine_tinygemm(
+                w, block_size, scale, zero_point, target_dtype,
+                quant_min, quant_max,
+            )
+        elif zero_point_domain is ZeroPointDomain.INT and not preserve_zero:
+            scale, zero_point = qp.choose_qparams_affine_dont_preserve_zero(
+                w, mapping_type, block_size, target_dtype, quant_min,
+                quant_max, eps, scale_dtype, zero_point_dtype,
+            )
+            qdata = qp.quantize_affine(
+                w, block_size, scale, zero_point, target_dtype,
+                quant_min, quant_max,
+            )
+        elif zero_point_domain is ZeroPointDomain.NONE:
+            scale, zero_point = qp.choose_qparams_affine(
+                w, mapping_type, block_size, target_dtype, quant_min,
+                quant_max, eps, scale_dtype, zero_point_dtype,
+            )
+            zero_point = None
+            qdata = qp.quantize_affine_no_zero_point(
+                w, block_size, scale, None, target_dtype,
+                quant_min, quant_max,
+            )
+        else:
+            scale, zero_point = qp.choose_qparams_affine(
+                w, mapping_type, block_size, target_dtype, quant_min,
+                quant_max, eps, scale_dtype, zero_point_dtype,
+            )
+            qdata = qp.quantize_affine(
+                w, block_size, scale, zero_point, target_dtype,
+                quant_min, quant_max,
+            )
+
+        logical_shape = tuple(w.shape)
+        if packing_format is PackingFormat.TILED_NIBBLES:
+            # any 4-bit-range target packs (int4, uint4, or the reference's
+            # tinygemm int32-with-qmin0/qmax15 convention)
+            assert quant_max - quant_min <= 15, (quant_min, quant_max)
+            if quant_min != 0:
+                qdata = (qdata.astype(jnp.int32) - quant_min)
+            qdata = pack_int4(qdata.astype(jnp.uint8), axis=-1)
+
+        return cls(
+            qdata=qdata,
+            scale=scale,
+            zero_point=zero_point,
+            block_size=tuple(block_size),
+            target_dtype=target_dtype,
+            quant_min=quant_min,
+            quant_max=quant_max,
+            zero_point_domain=zero_point_domain,
+            packing_format=packing_format,
+            logical_shape=logical_shape,
+            activation_dtype=str(jnp.dtype(w.dtype)),
+        )
+
+    # --- unpack / dequantize ----------------------------------------------
+    def unpacked_qdata(self) -> jnp.ndarray:
+        """qdata with packing undone — integer values in the target dtype's
+        range, stored as int8/uint8."""
+        if self.packing_format is PackingFormat.PLAIN:
+            return self.qdata
+        q = unpack_int4(self.qdata, axis=-1)
+        if self.quant_min != 0:
+            q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)
+        return q
+
+    def dequantize(self, output_dtype=None) -> jnp.ndarray:
+        if output_dtype is None:
+            output_dtype = self.dtype
+        q = self.unpacked_qdata()
+        if self.zero_point_domain is ZeroPointDomain.FLOAT:
+            return qp.dequantize_affine_tinygemm(
+                q.astype(output_dtype), self.block_size, self.scale,
+                self.zero_point, None, self.quant_min, self.quant_max,
+                output_dtype=output_dtype,
+            )
+        if self.zero_point_domain is ZeroPointDomain.NONE:
+            return qp.dequantize_affine_no_zero_point(
+                q, self.block_size, self.scale, output_dtype=output_dtype
+            )
+        return qp.dequantize_affine(
+            q, self.block_size, self.scale, self.zero_point,
+            output_dtype=output_dtype,
+        )
