@@ -1,0 +1,157 @@
+"""Benchmark: Llama-3-8B int4 weight-only (g=32) decode throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N/180.8}
+
+Baseline: the reference's Llama-3-8B int4wo-64 decode on A100-80GB =
+180.80 tok/s (BASELINE.md, torchao/quantization/README.md:20).
+
+Weights are random (throughput is weight-value-independent); params are
+initialized and quantized one stacked tensor at a time inside jit so the
+full bf16 model is never materialized (v5e has 16 GB HBM).
+
+Env overrides: BENCH_MODEL (default Llama-3-8B), BENCH_NUM_TOKENS,
+BENCH_PROMPT, BENCH_BATCH, BENCH_SMALL=1 (tiny config smoke mode).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_TOK_S = 180.80
+
+
+def init_quantized_llama(model, config, filter_fn, key):
+    """Init + quantize leaf-by-leaf under jit: the hp weight is a
+    temporary inside each jit call, so peak memory stays ~1 stacked hp
+    tensor + the quantized model."""
+    import math
+
+    from torchao_tpu.quantization.transform_module import get_quantize_handler
+
+    args = model.args
+    D, I = args.dim, args.intermediate_size
+    H, Hkv, Dh, L = (
+        args.n_head, args.n_local_heads, args.head_dim, args.n_layer,
+    )
+    V = args.vocab_size
+    dtype = model.dtype
+    qkv_out = (H + 2 * Hkv) * Dh
+
+    shapes = {
+        "tok_embeddings.weight": ((V, D), D),
+        "layers.attention.wqkv": ((L, qkv_out, D), D),
+        "layers.attention.wo": ((L, D, H * Dh), H * Dh),
+        "layers.feed_forward.w1": ((L, I, D), D),
+        "layers.feed_forward.w3": ((L, I, D), D),
+        "layers.feed_forward.w2": ((L, D, I), I),
+        "output.weight": ((V, D), D),
+    }
+    handler = get_quantize_handler(config)
+
+    def make(name, k):
+        shape, fan_in = shapes[name]
+
+        def init_fn(k):
+            w = (
+                jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)
+            ).astype(dtype)
+            if filter_fn(name, w):
+                return handler(w, config)
+            return w
+
+        out = jax.jit(init_fn)(k)
+        jax.block_until_ready(out)
+        return out
+
+    keys = jax.random.split(key, len(shapes))
+    leaves = {
+        name: make(name, k) for name, k in zip(shapes, keys)
+    }
+    params = {
+        "tok_embeddings": {"weight": leaves["tok_embeddings.weight"]},
+        "layers": {
+            "attention": {
+                "wqkv": leaves["layers.attention.wqkv"],
+                "wo": leaves["layers.attention.wo"],
+            },
+            "feed_forward": {
+                "w1": leaves["layers.feed_forward.w1"],
+                "w3": leaves["layers.feed_forward.w3"],
+                "w2": leaves["layers.feed_forward.w2"],
+            },
+            "attention_norm": {"weight": jnp.ones((L, D), dtype)},
+            "ffn_norm": {"weight": jnp.ones((L, D), dtype)},
+        },
+        "norm": {"weight": jnp.ones((D,), dtype)},
+        "output": {"weight": leaves["output.weight"]},
+    }
+    return params
+
+
+def main():
+    from torchao_tpu.models.llama.generate import benchmark_decode
+    from torchao_tpu.models.llama.model import (
+        ModelArgs,
+        Transformer,
+        default_linear_filter,
+    )
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig,
+        quantize_,
+    )
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    name = os.environ.get("BENCH_MODEL", "Llama-3-8B")
+    num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "128"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
+    if small:
+        args = ModelArgs(
+            block_size=512, vocab_size=512, n_layer=2, n_head=8,
+            n_local_heads=8, dim=256, intermediate_size=512,
+        )
+        model = Transformer(args, dtype=jnp.bfloat16)
+        name = "tiny"
+    else:
+        args = ModelArgs.from_name(name)
+        args.block_size = min(args.block_size, 4096)
+        model = Transformer(args, dtype=jnp.bfloat16)
+
+    config = Int4WeightOnlyConfig(group_size=32)
+    t0 = time.time()
+    params = init_quantized_llama(
+        model, config, default_linear_filter, jax.random.PRNGKey(0)
+    )
+    init_s = time.time() - t0
+
+    res = benchmark_decode(
+        model, params,
+        batch_size=batch, prompt_len=prompt_len, num_tokens=num_tokens,
+    )
+    value = res["tokens_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": f"{name}_int4wo-g32_decode_tok_s_per_chip",
+                "value": round(value, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(value / BASELINE_TOK_S, 4),
+                "mem_bw_GBps": round(res["mem_bw_GBps"], 1),
+                "model_size_GB": round(res["model_size_GB"], 3),
+                "init_s": round(init_s, 1),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

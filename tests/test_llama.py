@@ -1,0 +1,147 @@
+"""Llama model tests: forward consistency, KV-cache decode vs full
+recompute, quantized weights end-to-end, quantized KV cache."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu.models.llama.model import (
+    ModelArgs,
+    Transformer,
+    default_linear_filter,
+)
+from torchao_tpu.models.llama.generate import generate, make_prefill
+from torchao_tpu.quantization.quant_api import (
+    Int4WeightOnlyConfig,
+    Int8DynamicActivationInt8WeightConfig,
+    Int8WeightOnlyConfig,
+    quantize_,
+)
+from torchao_tpu.utils import compute_error
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+class TestForward:
+    def test_shapes(self, model_and_params):
+        model, params = model_and_params
+        tokens = jnp.asarray(
+            np.random.RandomState(0).randint(0, 512, (2, 16)), jnp.int32
+        )
+        logits, _ = model(params, tokens)
+        assert logits.shape == (2, 16, 512)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_cache_decode_matches_full_forward(self, model_and_params):
+        """Prefill T tokens then decode one-by-one must equal a full
+        no-cache forward over the whole sequence."""
+        model, params = model_and_params
+        rs = np.random.RandomState(1)
+        toks = jnp.asarray(rs.randint(0, 512, (1, 12)), jnp.int32)
+
+        # full forward, no cache
+        full_logits, _ = model(params, toks)
+
+        # prefill 8, then decode 4 with cache
+        cache = model.setup_caches(1, 16)
+        l1, cache = model(params, toks[:, :8], 0, cache)
+        decode_logits = []
+        for i in range(8, 12):
+            li, cache = model(params, toks[:, i : i + 1], i, cache)
+            decode_logits.append(li)
+        got = jnp.concatenate(decode_logits, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(full_logits[:, 8:12]),
+            rtol=2e-2, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(full_logits[:, :8]),
+            rtol=2e-2, atol=2e-3,
+        )
+
+    def test_quantized_kv_cache_close(self, model_and_params):
+        model, params = model_and_params
+        toks = jnp.asarray(
+            np.random.RandomState(2).randint(0, 512, (1, 8)), jnp.int32
+        )
+        cache = model.setup_caches(1, 8)
+        qcache = model.setup_caches(1, 8, quantize=True)
+        l_ref, _ = model(params, toks, 0, cache)
+        l_q, _ = model(params, toks, 0, qcache)
+        assert compute_error(l_ref, l_q) > 25
+
+
+class TestQuantizedModel:
+    @pytest.mark.parametrize(
+        "config,bound",
+        [
+            (Int8WeightOnlyConfig(), 30),
+            (Int4WeightOnlyConfig(group_size=32), 12),
+            (Int8DynamicActivationInt8WeightConfig(), 20),
+        ],
+    )
+    def test_logits_sqnr(self, model_and_params, config, bound):
+        model, params = model_and_params
+        toks = jnp.asarray(
+            np.random.RandomState(3).randint(0, 512, (1, 8)), jnp.int32
+        )
+        ref, _ = model(params, toks)
+        qparams = quantize_(params, config, filter_fn=default_linear_filter)
+        # embeddings/norms untouched
+        assert isinstance(
+            qparams["tok_embeddings"]["weight"], jnp.ndarray
+        )
+        assert not isinstance(
+            qparams["layers"]["attention"]["wqkv"], jnp.ndarray
+        )
+        out, _ = model(params=qparams, tokens=toks)
+        err = compute_error(ref, out)
+        assert err > bound, f"{type(config).__name__}: SQNR {err}"
+
+    def test_generate_runs_quantized(self, model_and_params):
+        model, params = model_and_params
+        qparams = quantize_(
+            params, Int4WeightOnlyConfig(group_size=32),
+            filter_fn=default_linear_filter,
+        )
+        prompt = jnp.asarray(
+            np.random.RandomState(4).randint(0, 512, (2, 5)), jnp.int32
+        )
+        out = generate(
+            model, qparams, prompt, max_new_tokens=6,
+            temperature=0.0, top_k=None,
+        )
+        assert out.shape == (2, 11)
+        np.testing.assert_array_equal(
+            np.asarray(out[:, :5]), np.asarray(prompt)
+        )
+
+    def test_greedy_generate_matches_hostloop(self, model_and_params):
+        """Device-side lax.scan decode == host-side python decode loop."""
+        model, params = model_and_params
+        prompt = jnp.asarray(
+            np.random.RandomState(5).randint(0, 512, (1, 4)), jnp.int32
+        )
+        a = generate(model, params, prompt, 5, temperature=0.0,
+                     top_k=None, device_loop=True)
+        b = generate(model, params, prompt, 5, temperature=0.0,
+                     top_k=None, device_loop=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_generate_with_quantized_kv(self, model_and_params):
+        model, params = model_and_params
+        prompt = jnp.asarray(
+            np.random.RandomState(6).randint(0, 512, (1, 4)), jnp.int32
+        )
+        out = generate(
+            model, params, prompt, 4, temperature=0.0, top_k=None,
+            kv_cache_quantization=True,
+        )
+        assert out.shape == (1, 8)

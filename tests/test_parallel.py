@@ -1,0 +1,109 @@
+"""Sharding tests on the 8-device CPU mesh: quantized Llama params sharded
+dp×tp, forward + decode agree with the unsharded single-device result
+(mirrors ``test/dtypes/test_affine_quantized_tensor_parallel.py``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu.models.llama.model import Transformer, default_linear_filter
+from torchao_tpu.parallel import (
+    kv_cache_specs,
+    llama_param_specs,
+    make_mesh,
+    shard_params,
+)
+from torchao_tpu.quantization.quant_api import (
+    Int4WeightOnlyConfig,
+    Int8WeightOnlyConfig,
+    quantize_,
+)
+
+
+# a TP-friendly tiny config (heads divisible by model axis)
+from torchao_tpu.models.llama.model import transformer_configs
+
+transformer_configs.setdefault(
+    "tiny-tp",
+    dict(
+        block_size=128, vocab_size=512, n_layer=2, n_head=8,
+        n_local_heads=4, dim=256, intermediate_size=512, rope_base=10000,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Transformer.from_name("tiny-tp", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 2, "model": 4})
+    return model, params, mesh
+
+
+@pytest.mark.parametrize(
+    "config", [None, Int8WeightOnlyConfig(), Int4WeightOnlyConfig(group_size=32)]
+)
+def test_tp_forward_matches_unsharded(setup, config):
+    model, params, mesh = setup
+    if config is not None:
+        params = quantize_(params, config, filter_fn=default_linear_filter)
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(0, 512, (2, 8)), jnp.int32
+    )
+    ref, _ = model(params, toks)
+
+    sparams = shard_params(params, mesh)
+    out, _ = jax.jit(lambda p, t: model(p, t))(sparams, toks)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_tp_decode_with_sharded_cache(setup):
+    model, params, mesh = setup
+    qparams = quantize_(
+        params, Int4WeightOnlyConfig(group_size=32),
+        filter_fn=default_linear_filter,
+    )
+    sparams = shard_params(qparams, mesh)
+    cache = model.setup_caches(2, 16)
+    scache = jax.device_put(cache, kv_cache_specs(cache, mesh))
+    toks = jnp.asarray(
+        np.random.RandomState(1).randint(0, 512, (2, 8)), jnp.int32
+    )
+
+    @jax.jit
+    def prefill_and_decode(p, t, c):
+        logits, c = model(p, t, 0, c)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        logits2, c = model(p, nxt[:, None], 8, c)
+        return logits, logits2
+
+    l1, l2 = prefill_and_decode(sparams, toks, scache)
+
+    # unsharded reference
+    c0 = model.setup_caches(2, 16)
+    r1, c0 = model(qparams, toks, 0, c0)
+    nxt = jnp.argmax(r1[:, -1], axis=-1).astype(jnp.int32)
+    r2, _ = model(qparams, nxt[:, None], 8, c0)
+    np.testing.assert_allclose(
+        np.asarray(l2, np.float32), np.asarray(r2, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_specs_cover_all_leaves(setup):
+    model, params, mesh = setup
+    qparams = quantize_(
+        params, Int4WeightOnlyConfig(group_size=32),
+        filter_fn=default_linear_filter,
+    )
+    specs = llama_param_specs(qparams, mesh)
+    # structure matches exactly (device_put would fail otherwise)
+    jax.tree_util.tree_map(lambda a, b: None, qparams, specs)
+    # column-parallel wqkv qdata sharded on axis 1
+    s = specs["layers"]["attention"]["wqkv"].qdata.spec
+    assert s == jax.sharding.PartitionSpec(None, "model", None)

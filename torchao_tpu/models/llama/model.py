@@ -1,0 +1,500 @@
+"""gpt-fast-style Llama decoder, TPU-native.
+
+Functional re-design of the reference's ``torchao/_models/llama/model.py``
+(``ModelArgs.from_name:54``, ``Transformer:243``, ``KVCache:166``,
+``AffineQuantizedKVCache:198``, ``Attention.forward:441``, rotary
+``:503-556``) for JAX/XLA:
+
+- params are a pytree with **stacked layer weights** (leading ``n_layer``
+  axis) and the forward pass is a single ``lax.scan`` over layers — one
+  compiled layer body instead of an unrolled graph (fast compiles, and XLA
+  pipelines the per-layer collectives under TP sharding).
+- the KV cache is a static-shape pytree carried through the scan as
+  per-layer xs/ys; an int8 per-token-absmax quantized variant mirrors
+  ``AffineQuantizedKVCache`` exactly (scales ``[B, H, S, 1]``).
+- weights may be quantized array pytrees; every matmul goes through
+  ``torchao_tpu.ops.linear`` dispatch.
+
+Weight layout is torch-convention ``[out_features, in_features]`` so
+quantization block sizes match the reference semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchao_tpu import ops
+from torchao_tpu.qtypes.base import QuantizedArray
+from torchao_tpu.quantization import quant_primitives as qp
+from torchao_tpu.utils import find_multiple
+
+
+@dataclasses.dataclass
+class ModelArgs:
+    block_size: int = 2048
+    vocab_size: int = 32000
+    n_layer: int = 32
+    n_head: int = 32
+    dim: int = 4096
+    intermediate_size: Optional[int] = None
+    n_local_heads: int = -1
+    head_dim: int = 64
+    rope_base: float = 10000
+    norm_eps: float = 1e-5
+    use_scaled_rope: bool = False
+    tie_word_embeddings: bool = False
+
+    def __post_init__(self):
+        if self.n_local_heads == -1:
+            self.n_local_heads = self.n_head
+        if self.intermediate_size is None:
+            hidden_dim = 4 * self.dim
+            n_hidden = int(2 * hidden_dim / 3)
+            self.intermediate_size = find_multiple(n_hidden, 256)
+        self.head_dim = self.dim // self.n_head
+
+    @classmethod
+    def from_name(cls, name: str):
+        if name in transformer_configs:
+            return cls(**transformer_configs[name])
+        matches = [
+            c for c in transformer_configs
+            if c in str(name).upper() or c in str(name)
+        ]
+        matches.sort(key=len, reverse=True)
+        assert matches, f"Unknown model {name}"
+        return cls(**transformer_configs[matches[0]])
+
+
+# Architecture hyperparameters (facts from the reference's
+# transformer_configs table, model.py:75-158), plus a tiny debug config.
+transformer_configs = {
+    "tiny-debug": dict(
+        block_size=256, vocab_size=512, n_layer=2, n_head=4,
+        n_local_heads=2, dim=128, intermediate_size=256, rope_base=10000,
+    ),
+    "stories15M": dict(n_layer=6, n_head=6, dim=288),
+    "stories110M": dict(n_layer=12, n_head=12, dim=768),
+    "7B": dict(n_layer=32, n_head=32, dim=4096),
+    "13B": dict(n_layer=40, n_head=40, dim=5120),
+    "30B": dict(n_layer=60, n_head=52, dim=6656),
+    "70B": dict(
+        n_layer=80, n_head=64, dim=8192, n_local_heads=8,
+        intermediate_size=28672,
+    ),
+    "Mistral-7B": dict(
+        n_layer=32, n_head=32, n_local_heads=8, dim=4096,
+        intermediate_size=14336, vocab_size=32000,
+    ),
+    "Llama-3-8B": dict(
+        block_size=8192, n_layer=32, n_head=32, n_local_heads=8, dim=4096,
+        intermediate_size=14336, vocab_size=128256, rope_base=500000,
+    ),
+    "Llama-3.1-8B": dict(
+        block_size=131072, n_layer=32, n_head=32, n_local_heads=8, dim=4096,
+        intermediate_size=14336, vocab_size=128256, rope_base=500000,
+        use_scaled_rope=True,
+    ),
+    "Llama-3.1-70B": dict(
+        block_size=131072, n_layer=80, n_head=64, n_local_heads=8, dim=8192,
+        intermediate_size=28672, vocab_size=128256, rope_base=500000,
+        use_scaled_rope=True,
+    ),
+    "Llama-3.1-405B": dict(
+        block_size=131072, n_layer=126, n_head=128, n_local_heads=8,
+        dim=16384, intermediate_size=53248, vocab_size=128256,
+        rope_base=500000, use_scaled_rope=True,
+    ),
+    "Llama-3.2-3B": dict(
+        block_size=131072, n_layer=28, n_head=24, n_local_heads=8, dim=3072,
+        intermediate_size=8192, vocab_size=128256, rope_base=500000,
+        use_scaled_rope=True, tie_word_embeddings=True,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# rotary embeddings (reference model.py:503-556)
+# ---------------------------------------------------------------------------
+
+
+def _apply_rope_scaling(freqs: np.ndarray) -> np.ndarray:
+    """Llama-3.1 rope scaling (reference ``apply_scaling``, model.py:503)."""
+    scale_factor = 8
+    low_freq_factor = 1
+    high_freq_factor = 4
+    old_context_len = 8192
+    low_freq_wavelen = old_context_len / low_freq_factor
+    high_freq_wavelen = old_context_len / high_freq_factor
+    wavelen = 2 * math.pi / freqs
+    smooth = (old_context_len / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    scaled = np.where(
+        wavelen < high_freq_wavelen,
+        freqs,
+        np.where(
+            wavelen > low_freq_wavelen,
+            freqs / scale_factor,
+            (1 - smooth) * freqs / scale_factor + smooth * freqs,
+        ),
+    )
+    return scaled
+
+
+def precompute_freqs_cis(args: ModelArgs, dtype=jnp.float32) -> jnp.ndarray:
+    """[block_size, head_dim/2, 2] (cos, sin) table."""
+    n_elem = args.head_dim
+    freqs = 1.0 / (
+        args.rope_base
+        ** (np.arange(0, n_elem, 2)[: n_elem // 2].astype(np.float64) / n_elem)
+    )
+    if args.use_scaled_rope:
+        freqs = _apply_rope_scaling(freqs)
+    t = np.arange(args.block_size)
+    angles = np.outer(t, freqs)
+    table = np.stack([np.cos(angles), np.sin(angles)], axis=-1)
+    return jnp.asarray(table, dtype)
+
+
+def apply_rotary_emb(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, head_dim]; freqs: [T, head_dim/2, 2].
+
+    Pairs adjacent features (reference ``apply_rotary_emb``, model.py:545).
+    """
+    xf = x.astype(jnp.float32)
+    x2 = xf.reshape(*x.shape[:-1], -1, 2)
+    cos = freqs[None, :, None, :, 0]
+    sin = freqs[None, :, None, :, 1]
+    out = jnp.stack(
+        [
+            x2[..., 0] * cos - x2[..., 1] * sin,
+            x2[..., 1] * cos + x2[..., 0] * sin,
+        ],
+        axis=-1,
+    )
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    rms = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * rms).astype(x.dtype) * weight
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(
+    args: ModelArgs,
+    batch_size: int,
+    max_seq_len: int,
+    dtype=jnp.bfloat16,
+    quantize: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Static-shape KV cache pytree with leading layer axis.
+
+    bf16: ``{"k","v": [L, B, Hkv, S, Dh]}`` (reference ``KVCache:166``).
+    int8: adds per-token-absmax scales ``[L, B, Hkv, S, 1]`` (reference
+    ``AffineQuantizedKVCache:198``).
+    """
+    shape = (
+        args.n_layer, batch_size, args.n_local_heads, max_seq_len,
+        args.head_dim,
+    )
+    if not quantize:
+        return {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+        }
+    sshape = shape[:-1] + (1,)
+    return {
+        "k_q": jnp.zeros(shape, jnp.int8),
+        "v_q": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, dtype),
+        "v_scale": jnp.zeros(sshape, dtype),
+    }
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token absmax int8 over head_dim: x [B, H, T, Dh] →
+    (int8 values, scales [B, H, T, 1]). Reference
+    ``_quantize_activation_per_token_absmax`` usage in
+    ``AffineQuantizedKVCache.update`` (model.py:221-231)."""
+    q, scale = qp.quantize_activation_per_token_absmax(x)
+    return q, scale[..., None].astype(x.dtype)
+
+
+def _update_layer_cache(
+    layer_cache: Dict[str, jnp.ndarray],
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    input_pos: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Write new k/v ([B, Hkv, T, Dh]) at ``input_pos`` and return the full
+    (dequantized) cache plus the updated cache pytree."""
+    if "k" in layer_cache:
+        k_cache = jax.lax.dynamic_update_slice(
+            layer_cache["k"], k.astype(layer_cache["k"].dtype),
+            (0, 0, input_pos, 0),
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            layer_cache["v"], v.astype(layer_cache["v"].dtype),
+            (0, 0, input_pos, 0),
+        )
+        return k_cache, v_cache, {"k": k_cache, "v": v_cache}
+
+    k_q, k_s = _quantize_kv(k)
+    v_q, v_s = _quantize_kv(v)
+    new = {
+        "k_q": jax.lax.dynamic_update_slice(
+            layer_cache["k_q"], k_q, (0, 0, input_pos, 0)
+        ),
+        "v_q": jax.lax.dynamic_update_slice(
+            layer_cache["v_q"], v_q, (0, 0, input_pos, 0)
+        ),
+        "k_scale": jax.lax.dynamic_update_slice(
+            layer_cache["k_scale"], k_s, (0, 0, input_pos, 0)
+        ),
+        "v_scale": jax.lax.dynamic_update_slice(
+            layer_cache["v_scale"], v_s, (0, 0, input_pos, 0)
+        ),
+    }
+    # XLA path dequantizes the whole cache (like the reference,
+    # model.py:228-231); the Pallas attention kernel consumes int8 + scales
+    # directly instead.
+    k_full = new["k_q"].astype(k.dtype) * new["k_scale"].astype(k.dtype)
+    v_full = new["v_q"].astype(v.dtype) * new["v_scale"].astype(v.dtype)
+    return k_full, v_full, new
+
+
+# ---------------------------------------------------------------------------
+# transformer
+# ---------------------------------------------------------------------------
+
+
+def _layer_weight(w):
+    """Fix static metadata on a per-layer slice of a stacked quantized
+    weight: ``lax.scan`` slices the array leaves (dropping the layer axis)
+    but aux data still describes the stacked array."""
+    if isinstance(w, QuantizedArray):
+        return w.unstack_layer()
+    return w
+
+
+def _attention(
+    x: jnp.ndarray,
+    lw: Dict[str, Any],
+    freqs: jnp.ndarray,
+    mask: jnp.ndarray,
+    layer_cache,
+    input_pos,
+    args: ModelArgs,
+):
+    """One attention block (reference ``Attention.forward``, model.py:441):
+    fused wqkv → RoPE → cache update → GQA SDPA → wo."""
+    B, T, D = x.shape
+    H, Hkv, Dh = args.n_head, args.n_local_heads, args.head_dim
+
+    qkv = ops.linear(x, _layer_weight(lw["wqkv"]))
+    q, k, v = jnp.split(
+        qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1
+    )
+    q = q.reshape(B, T, H, Dh)
+    k = k.reshape(B, T, Hkv, Dh)
+    v = v.reshape(B, T, Hkv, Dh)
+
+    q = apply_rotary_emb(q, freqs)
+    k = apply_rotary_emb(k, freqs)
+
+    # [B, H*, T, Dh]
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    if layer_cache is not None:
+        k_full, v_full, new_cache = _update_layer_cache(
+            layer_cache, k, v, input_pos
+        )
+    else:
+        k_full, v_full, new_cache = k, v, None
+
+    S = k_full.shape[2]
+    g = H // Hkv
+    qg = q.reshape(B, Hkv, g, T, Dh)
+    scores = jnp.einsum(
+        "bhgtd,bhsd->bhgts", qg, k_full,
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(Dh)
+    scores = jnp.where(mask[None, None, None, :, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgts,bhsd->bhgtd", probs.astype(v_full.dtype), v_full,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    out = out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3).reshape(B, T, D)
+    out = ops.linear(out, _layer_weight(lw["wo"]))
+    return out, new_cache
+
+
+def _feed_forward(x: jnp.ndarray, lw: Dict[str, Any]) -> jnp.ndarray:
+    """SwiGLU MLP (reference ``FeedForward``)."""
+    h1 = ops.linear(x, _layer_weight(lw["w1"]))
+    h3 = ops.linear(x, _layer_weight(lw["w3"]))
+    return ops.linear(jax.nn.silu(h1) * h3, _layer_weight(lw["w2"]))
+
+
+def transformer_forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,      # [B, T] int32
+    input_pos,                # scalar int32: start position of `tokens`
+    cache,                    # stacked KV cache pytree or None
+    freqs_full: jnp.ndarray,  # [block_size, Dh/2, 2]
+    args: ModelArgs,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Full forward. Returns (logits [B, T, V], new_cache)."""
+    B, T = tokens.shape
+    x = params["tok_embeddings"]["weight"][tokens]
+
+    freqs = jax.lax.dynamic_slice_in_dim(freqs_full, input_pos, T, axis=0)
+
+    if mask is None:
+        if cache is not None:
+            S = jax.tree_util.tree_leaves(cache)[0].shape[3]
+            # position t (absolute input_pos + t) attends to cache slot s
+            # iff s <= input_pos + t
+            pos = input_pos + jnp.arange(T)[:, None]
+            mask = jnp.arange(S)[None, :] <= pos
+        else:
+            mask = jnp.tril(jnp.ones((T, T), bool))
+
+    def body(x, layer_in):
+        lw, layer_cache = layer_in
+        h, new_cache = _attention(
+            rms_norm(x, lw["attention_norm"]["weight"], args.norm_eps),
+            lw["attention"], freqs, mask, layer_cache, input_pos, args,
+        )
+        x = x + h
+        x = x + _feed_forward(
+            rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
+            lw["feed_forward"],
+        )
+        return x, new_cache
+
+    if cache is not None:
+        x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    else:
+        x, new_cache = _scan_no_cache(body, x, params["layers"])
+
+    x = rms_norm(x, params["norm"]["weight"], args.norm_eps)
+    if args.tie_word_embeddings:
+        logits = ops.linear(x, params["tok_embeddings"]["weight"])
+    else:
+        logits = ops.linear(x, params["output"]["weight"])
+    return logits, new_cache
+
+
+def _scan_no_cache(body, x, layers):
+    def body2(x, lw):
+        x, _ = body(x, (lw, None))
+        return x, None
+
+    x, _ = jax.lax.scan(body2, x, layers)
+    return x, None
+
+
+# ---------------------------------------------------------------------------
+# init + wrapper
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    args: ModelArgs, key: jax.Array, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Random-init params pytree with stacked layer weights."""
+    D, I = args.dim, args.intermediate_size
+    H, Hkv, Dh, L = args.n_head, args.n_local_heads, args.head_dim, args.n_layer
+    V = args.vocab_size
+    keys = jax.random.split(key, 8)
+
+    def init(k, shape, fan_in):
+        return (
+            jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)
+        ).astype(dtype)
+
+    qkv_out = (H + 2 * Hkv) * Dh
+    params = {
+        "tok_embeddings": {"weight": init(keys[0], (V, D), D)},
+        "layers": {
+            "attention": {
+                "wqkv": init(keys[1], (L, qkv_out, D), D),
+                "wo": init(keys[2], (L, D, H * Dh), H * Dh),
+            },
+            "feed_forward": {
+                "w1": init(keys[3], (L, I, D), D),
+                "w3": init(keys[4], (L, I, D), D),
+                "w2": init(keys[5], (L, D, I), I),
+            },
+            "attention_norm": {"weight": jnp.ones((L, D), dtype)},
+            "ffn_norm": {"weight": jnp.ones((L, D), dtype)},
+        },
+        "norm": {"weight": jnp.ones((D,), dtype)},
+    }
+    if not args.tie_word_embeddings:
+        params["output"] = {"weight": init(keys[6], (V, D), D)}
+    return params
+
+
+def default_linear_filter(path: str, leaf) -> bool:
+    """Quantize the transformer's linear weights only (not embeddings or
+    norms) — the analog of the reference's ``_is_linear`` filter."""
+    names = ("wqkv", "wo", "w1", "w2", "w3", "output")
+    return (
+        hasattr(leaf, "ndim")
+        and leaf.ndim in (2, 3)
+        and any(path.endswith(f"{n}.weight") or path.endswith(n)
+                or f".{n}." in path for n in names)
+        and "tok_embeddings" not in path
+        and "norm" not in path
+    )
+
+
+class Transformer:
+    """Thin stateless wrapper bundling args + jitted entry points."""
+
+    def __init__(self, args: ModelArgs, dtype=jnp.bfloat16):
+        self.args = args
+        self.dtype = dtype
+        self.freqs = precompute_freqs_cis(args)
+
+    @classmethod
+    def from_name(cls, name: str, dtype=jnp.bfloat16):
+        return cls(ModelArgs.from_name(name), dtype)
+
+    def init_params(self, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return init_params(self.args, key, self.dtype)
+
+    def setup_caches(
+        self, batch_size, max_seq_len, quantize: bool = False
+    ):
+        max_seq_len = min(max_seq_len, self.args.block_size)
+        return init_kv_cache(
+            self.args, batch_size, max_seq_len, self.dtype, quantize
+        )
+
+    def __call__(self, params, tokens, input_pos=0, cache=None, mask=None):
+        return transformer_forward(
+            params, tokens, input_pos, cache, self.freqs, self.args, mask
+        )

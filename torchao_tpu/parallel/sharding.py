@@ -1,0 +1,125 @@
+"""Mesh + sharding rules for quantized model pytrees.
+
+The reference achieves TP by making tensor subclasses DTensor-shardable
+(slice/view ops, ``affine_quantized_tensor_ops.py:467-598``) and lets
+torch.distributed place them. TPU-natively, quantized arrays are already
+pytrees, so sharding is just a matching pytree of ``NamedSharding``s; the
+work is the *rules* (SURVEY.md §2.10): qdata shards like the weight it
+quantizes, rowwise scales shard with rows, group scales shard with their
+K-blocks, per-tensor scales replicate.
+
+Llama TP layout (megatron-style, over the ``model`` mesh axis):
+  - wqkv, w1, w3: column-parallel (output features sharded)
+  - wo, w2: row-parallel (input features sharded; XLA inserts the psum)
+  - embeddings/norms: replicated;  output head: vocab-sharded
+  - KV cache: heads sharded on ``model``, batch on ``data``
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    mesh_shape: Dict[str, int], devices=None
+) -> Mesh:
+    """e.g. ``make_mesh({"data": 2, "model": 4})``."""
+    if devices is None:
+        devices = jax.devices()
+    names = tuple(mesh_shape.keys())
+    shape = tuple(mesh_shape.values())
+    n = int(np.prod(shape))
+    assert len(devices) >= n, (len(devices), n)
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, names)
+
+
+# base PartitionSpecs for stacked-layer Llama weights ([L, out, in])
+def _llama_weight_specs(model_axis: str) -> Dict[str, P]:
+    m = model_axis
+    return {
+        "tok_embeddings.weight": P(None, None),
+        "layers.attention.wqkv": P(None, m, None),     # column-parallel
+        "layers.attention.wo": P(None, None, m),       # row-parallel
+        "layers.feed_forward.w1": P(None, m, None),
+        "layers.feed_forward.w3": P(None, m, None),
+        "layers.feed_forward.w2": P(None, None, m),
+        "layers.attention_norm.weight": P(None, None),
+        "layers.ffn_norm.weight": P(None, None),
+        "norm.weight": P(None),
+        "output.weight": P(m, None),
+    }
+
+
+def _spec_for_leaf(base: P, leaf) -> P:
+    """Project a weight's PartitionSpec onto one of its quantized leaves.
+
+    All integrated quant schemes reduce over *trailing* dims, so a
+    lower-rank qparam leaf (per-channel scale) keeps the leading entries of
+    the weight spec; equal-rank leaves (group scales, packed qdata) keep
+    the full spec.
+    """
+    ndim = getattr(leaf, "ndim", None)
+    if ndim is None:
+        return base
+    entries = tuple(base) + (None,) * max(0, ndim - len(tuple(base)))
+    return P(*entries[:ndim])
+
+
+def llama_param_specs(
+    params: Any, mesh: Mesh, model_axis: str = "model"
+) -> Any:
+    """Pytree of NamedSharding matching ``params`` (quantized or not)."""
+    base_specs = _llama_weight_specs(model_axis)
+
+    def path_str(key_path):
+        parts = []
+        for k in key_path:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "name"):
+                parts.append(str(k.name))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+        return ".".join(parts)
+
+    def spec_of(key_path, leaf):
+        path = path_str(key_path)
+        base = None
+        for prefix, spec in base_specs.items():
+            if path.startswith(prefix):
+                base = spec
+                break
+        if base is None:
+            base = P()
+        return NamedSharding(mesh, _spec_for_leaf(base, leaf))
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def kv_cache_specs(
+    cache: Any, mesh: Mesh, data_axis: str = "data",
+    model_axis: str = "model",
+) -> Any:
+    """Cache leaves are [L, B, Hkv, S, Dh(or 1)]: batch on data, heads on
+    model (sequence dim replicated — decode-dominant serving; SP is an
+    explicit non-goal for parity, SURVEY.md §5)."""
+
+    def spec_of(leaf):
+        assert leaf.ndim == 5, leaf.shape
+        return NamedSharding(
+            mesh, P(None, data_axis, model_axis, None, None)
+        )
+
+    return jax.tree_util.tree_map(spec_of, cache)
+
+
+def shard_params(
+    params: Any, mesh: Mesh, model_axis: str = "model"
+) -> Any:
+    """device_put params with the Llama TP rules."""
+    return jax.device_put(params, llama_param_specs(params, mesh, model_axis))

@@ -108,6 +108,30 @@ class QuantizedArray:
     def dequantize(self, output_dtype=None) -> jnp.ndarray:
         raise NotImplementedError
 
+    def unstack_layer(self) -> "QuantizedArray":
+        """Adjust static metadata after an outer transform (``lax.scan`` /
+        ``vmap``) has sliced off the leading "layer" axis of the array
+        leaves. Default: drop the leading element of ``block_size`` and
+        ``logical_shape`` when present."""
+        updates = {}
+        bs = getattr(self, "block_size", None)
+        if bs is not None and len(bs) > self._leaf_ndim():
+            updates["block_size"] = tuple(bs[1:])
+        ls = getattr(self, "logical_shape", None)
+        if ls is not None and len(ls) > self._leaf_ndim():
+            updates["logical_shape"] = tuple(ls[1:])
+        if not updates:
+            return self
+        return dataclasses.replace(self, **updates)
+
+    def _leaf_ndim(self) -> int:
+        """ndim of the primary data leaf (qdata) as currently stored."""
+        for name in self.__qarray_data_fields__:
+            v = getattr(self, name)
+            if v is not None and hasattr(v, "ndim"):
+                return v.ndim
+        raise ValueError("no array leaves")
+
     # --- convenience ------------------------------------------------------
     def nbytes(self) -> int:
         return sum(

@@ -62,6 +62,13 @@ class LinearActivationQuantizedArray(QuantizedArray):
     def dequantize(self, output_dtype=None):
         return self.original_weight.dequantize(output_dtype)
 
+    def unstack_layer(self):
+        import dataclasses
+
+        return dataclasses.replace(
+            self, original_weight=self.original_weight.unstack_layer()
+        )
+
 
 @qarray_dataclass
 class WeightTensorWithLinearActivationScaleMetadata(QuantizedArray):
@@ -81,3 +88,10 @@ class WeightTensorWithLinearActivationScaleMetadata(QuantizedArray):
 
     def dequantize(self, output_dtype=None):
         return self.original_weight.dequantize(output_dtype)
+
+    def unstack_layer(self):
+        import dataclasses
+
+        return dataclasses.replace(
+            self, original_weight=self.original_weight.unstack_layer()
+        )
