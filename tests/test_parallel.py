@@ -104,6 +104,7 @@ def test_specs_cover_all_leaves(setup):
     specs = llama_param_specs(qparams, mesh)
     # structure matches exactly (device_put would fail otherwise)
     jax.tree_util.tree_map(lambda a, b: None, qparams, specs)
-    # column-parallel wqkv qdata sharded on axis 1
+    # column-parallel wqkv: K-major tiled qdata [L, K/2, N] → out features
+    # (model-sharded) are on the LAST axis
     s = specs["layers"]["attention"]["wqkv"].qdata.spec
-    assert s == jax.sharding.PartitionSpec(None, "model", None)
+    assert s == jax.sharding.PartitionSpec(None, None, "model")

@@ -1,0 +1,156 @@
+"""QAT (prepare/convert, STE gradients) and observer (static PTQ) tests.
+
+Mirrors the reference's ``test/quantization/test_qat.py`` strategy: fake
+quant numerics match PTQ quant-dequant; gradients flow through prepared
+weights; convert produces real quantized arrays.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu import ops
+from torchao_tpu.quantization.observer import (
+    MinMaxObserverState,
+    ObserverConfig,
+    minmax_calculate_qparams,
+    minmax_update,
+)
+from torchao_tpu.quantization.granularity import PerAxis
+from torchao_tpu.quantization.qat import (
+    IntxFakeQuantizeConfig,
+    QATConfig,
+    QATFakeQuantizedArray,
+)
+from torchao_tpu.quantization.quant_api import (
+    Int4WeightOnlyConfig,
+    Int8DynamicActivationInt4WeightConfig,
+    quantize_,
+)
+from torchao_tpu.quantization.quant_primitives import MappingType
+from torchao_tpu.utils import compute_error
+
+
+def _w(shape, seed=0, dtype=jnp.float32):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), dtype)
+
+
+class TestQAT:
+    def test_prepare_wraps_and_matches_ptq_numerics(self):
+        w = _w((64, 128), dtype=jnp.bfloat16)
+        x = _w((4, 128), seed=1, dtype=jnp.bfloat16)
+        base = Int4WeightOnlyConfig(group_size=32)
+        prepared = quantize_(
+            {"w": w}, QATConfig(base_config=base, step="prepare")
+        )["w"]
+        assert isinstance(prepared, QATFakeQuantizedArray)
+        qat_out = ops.linear(x, prepared)
+
+        # PTQ quant-dequant of the same weight gives the same fake weight
+        ptq = quantize_({"w": w}, base)["w"]
+        ptq_out = ops.linear(x, ptq)
+        err = compute_error(ptq_out, qat_out)
+        assert err > 30, f"QAT fake-quant != PTQ numerics: {err}"
+
+    def test_gradients_flow_with_ste(self):
+        w = _w((32, 64))
+        x = _w((8, 64), seed=2)
+        prepared = quantize_(
+            {"w": w},
+            QATConfig(
+                base_config=Int8DynamicActivationInt4WeightConfig(
+                    group_size=32
+                ),
+                step="prepare",
+            ),
+        )
+
+        def loss(p):
+            return jnp.sum(ops.linear(x, p["w"]) ** 2)
+
+        g = jax.grad(loss)(prepared)
+        gw = g["w"].weight
+        assert gw.shape == w.shape
+        assert float(jnp.max(jnp.abs(gw))) > 0, "zero grads — STE broken"
+        assert bool(jnp.all(jnp.isfinite(gw)))
+
+    def test_convert_produces_real_quantized(self):
+        from torchao_tpu.qtypes import IntxArray
+
+        w = _w((64, 128), dtype=jnp.bfloat16)
+        base = Int4WeightOnlyConfig(group_size=32)
+        prepared = quantize_(
+            {"w": w}, QATConfig(base_config=base, step="prepare")
+        )
+        converted = quantize_(
+            prepared, QATConfig(base_config=base, step="convert")
+        )
+        assert isinstance(converted["w"], IntxArray)
+        # converting the trained hp weight == directly PTQ-ing it
+        direct = quantize_({"w": w}, base)["w"]
+        np.testing.assert_array_equal(
+            np.asarray(converted["w"].qdata), np.asarray(direct.qdata)
+        )
+
+    def test_explicit_fq_configs(self):
+        w = _w((32, 64), dtype=jnp.bfloat16)
+        x = _w((4, 64), seed=3, dtype=jnp.bfloat16)
+        prepared = quantize_(
+            {"w": w},
+            QATConfig(
+                activation_config=IntxFakeQuantizeConfig(
+                    dtype="int8", is_symmetric=True
+                ),
+                weight_config=IntxFakeQuantizeConfig(
+                    dtype="int4", group_size=32
+                ),
+                step="prepare",
+            ),
+        )["w"]
+        out = ops.linear(x, prepared)
+        ref = jnp.matmul(x, w.T)
+        assert compute_error(ref, out) > 10
+
+
+class TestObserver:
+    def test_minmax_running_stats(self):
+        cfg = ObserverConfig(
+            mapping_type=MappingType.ASYMMETRIC,
+            target_dtype="int8",
+            granularity=PerAxis(0),
+        )
+        state = MinMaxObserverState()
+        batches = [_w((16, 32), seed=s) for s in range(4)]
+        for b in batches:
+            state = minmax_update(state, b, cfg)
+        allx = jnp.concatenate(batches, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(state.min_val),
+            np.asarray(jnp.min(allx, axis=1)),
+            rtol=1e-6,
+        )
+        scale, zp = minmax_calculate_qparams(state, cfg)
+        assert scale.shape == (16,)
+        assert bool(jnp.all(scale > 0))
+
+    def test_static_quant_flow(self):
+        """Observer stats → qparams → quantize_affine: the static-quant
+        calibration loop (reference insert_observers_ flow)."""
+        from torchao_tpu.quantization import quant_primitives as qp
+
+        cfg = ObserverConfig(
+            mapping_type=MappingType.SYMMETRIC,
+            target_dtype="int8",
+            granularity=PerAxis(0),
+        )
+        state = MinMaxObserverState()
+        data = _w((8, 64), seed=7)
+        state = minmax_update(state, data, cfg)
+        scale, zp = minmax_calculate_qparams(state, cfg)
+        q = qp.quantize_affine(
+            data, (1, 64), scale, zp.astype(jnp.int32), "int8"
+        )
+        dq = qp.dequantize_affine(q, (1, 64), scale, zp)
+        assert compute_error(data, dq) > 30

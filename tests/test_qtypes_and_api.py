@@ -99,7 +99,7 @@ class TestIntxArray:
         tiled = IntxArray.from_hp(
             w, packing_format=PackingFormat.TILED_NIBBLES, **kwargs
         )
-        assert tiled.qdata.shape == (8, 64)
+        assert tiled.qdata.shape == (64, 8)  # K-major: [K/2, N]
         np.testing.assert_array_equal(
             np.asarray(tiled.unpacked_qdata()), np.asarray(plain.qdata)
         )

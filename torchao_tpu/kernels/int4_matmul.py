@@ -5,29 +5,30 @@ TPU replacement for the reference's tinygemm path
 ``csrc/cuda/tensor_core_tiled_layout/tensor_core_tiled_layout.cu``) and the
 Marlin/HQQ/gemlite int4 GPU kernels (SURVEY.md §2.7).
 
-Design (tpu-first, not a translation):
+Layout (tpu-first, not a translation of tinygemm's tensor-core tiles):
 
-- weights arrive in the half-split nibble layout (``qtypes/packing.py``):
-  packed byte ``[n, kp]`` holds elements ``kp`` (low nibble) and
-  ``kp + K/2`` (high nibble). A packed K-block therefore corresponds to
-  two *contiguous* element blocks — the kernel reads the activation twice
-  with different index maps (x_lo / x_hi) instead of doing any lane
-  interleave: nibble unpack is two VPU ops (mask, shift) and dequant stays
-  off the MXU critical path.
-- grid (M/bm, N/bn, Kp/bkp) with an f32 VMEM accumulator; group scales
-  and FLOAT-domain zeros (tinygemm semantics: ``dq = (q - 8)*s + z``) are
-  expanded with ``pltpu.repeat`` along lanes.
-- decode (M small) is the memory-bound GEMV case: block sizes chosen so
-  each weight byte is read exactly once; the kernel streams N×K/2 bytes +
-  scales, which is the HBM roofline for weight-only int4.
+- **K-major packed weights**: ``wp[kp, n]`` (uint8) holds element
+  ``w[n, kp]`` in the low nibble and ``w[n, kp + K/2]`` in the high nibble
+  (half-split along K, see ``qtypes/packing.py``). The contraction dim
+  lives on *sublanes*, output features on *lanes* — the natural MXU
+  orientation, so the dequantized tile feeds ``jnp.dot`` with no
+  transpose.
+- **K-major group scales**: ``scale[K/g, N]`` — a ``(bkp/g, bn)`` block
+  satisfies Mosaic's (8, 128) block-alignment rule, and the per-group
+  expansion is a *sublane* repeat (cheap) instead of a lane shuffle.
+- the half-split packing means a packed K-block maps to two contiguous
+  activation column-blocks; the kernel reads ``x`` twice with different
+  index maps (x_lo / x_hi) — no interleave anywhere.
+- f32 VMEM accumulator over the K grid axis; tinygemm FLOAT-zero-domain
+  dequant ``dq = (q − mid)·s + z`` on the VPU.
 
-The jnp reference path (`int4_dq_matmul_reference`) is the correctness
-oracle used by tests (also runs under ``interpret=True`` on CPU).
+``int4_dq_matmul_reference`` is the jnp oracle used by tests.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -50,26 +51,22 @@ def _kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    wp = wp_ref[:]
+    wp = wp_ref[:].astype(jnp.int32)
     lo = (wp & 0xF).astype(jnp.bfloat16)
     hi = ((wp >> 4) & 0xF).astype(jnp.bfloat16)
 
     def dequant(q, s_ref, z_ref):
-        # interleaved (per-group) expansion along lanes; NOTE pltpu.repeat
-        # is tile-semantics (0123 0123), so use jnp.repeat (0000 1111)
-        s = jnp.repeat(s_ref[:], group_size, axis=1)
-        z = jnp.repeat(z_ref[:], group_size, axis=1)
+        # per-group expansion along sublanes (interleave semantics)
+        s = jnp.repeat(s_ref[:], group_size, axis=0)
+        z = jnp.repeat(z_ref[:], group_size, axis=0)
         return (q - mid) * s + z
 
-    dq_lo = dequant(lo, s_lo_ref, z_lo_ref)
-    dq_hi = dequant(hi, s_hi_ref, z_hi_ref)
-
-    acc_ref[:] += jax.lax.dot_general(
-        x_lo_ref[:], dq_lo, (((1,), (1,)), ((), ())),
+    acc_ref[:] += jnp.dot(
+        x_lo_ref[:], dequant(lo, s_lo_ref, z_lo_ref),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[:] += jax.lax.dot_general(
-        x_hi_ref[:], dq_hi, (((1,), (1,)), ((), ())),
+    acc_ref[:] += jnp.dot(
+        x_hi_ref[:], dequant(hi, s_hi_ref, z_hi_ref),
         preferred_element_type=jnp.float32,
     )
 
@@ -84,63 +81,56 @@ def _kernel(
 )
 def int4_dq_matmul(
     x: jnp.ndarray,        # [M, K] bf16/f32
-    wp: jnp.ndarray,       # [N, K/2] uint8 half-split nibbles
-    scale: jnp.ndarray,    # [N, K/g]
-    zero: jnp.ndarray,     # [N, K/g] (FLOAT domain)
+    wp: jnp.ndarray,       # [K/2, N] uint8, K-major half-split nibbles
+    scale: jnp.ndarray,    # [K/g, N]
+    zero: jnp.ndarray,     # [K/g, N] (FLOAT zero-point domain)
     *,
     group_size: int,
     mid: float = 8.0,
     bm: Optional[int] = None,
-    bn: int = 256,
+    bn: int = 512,
     bkp: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[n, k//g] + z[n, k//g])."""
+    """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n])."""
     M, K = x.shape
-    N, Kp = wp.shape
+    Kp, N = wp.shape
     assert Kp * 2 == K, (K, Kp)
-    assert Kp % group_size == 0 or group_size >= Kp, (Kp, group_size)
-
-    # clamp blocks to problem size; bkp must divide Kp exactly (the x_hi /
-    # scale_hi index maps offset by a whole number of blocks) and be a
-    # multiple of group_size so scale blocks align with groups
-    import math as _math
-
     g_eff = min(group_size, Kp)
-    bkp = _math.gcd(min(bkp, Kp), Kp)
-    if bkp % g_eff != 0:
-        bkp = _math.gcd(bkp * g_eff, Kp)
-    assert Kp % bkp == 0 and bkp % g_eff == 0, (Kp, bkp, g_eff)
+    assert Kp % g_eff == 0, (Kp, g_eff)
+
+    # bkp must divide Kp (whole-block offsets for the hi half), be a
+    # multiple of group_size, and give scale blocks with >=8 sublanes
+    bkp = min(bkp, Kp)
+    bkp = math.gcd(bkp, Kp)
+    bkp = max(bkp, min(8 * g_eff, Kp))
+    if bkp % g_eff != 0 or Kp % bkp != 0:
+        bkp = Kp
+    bg = bkp // g_eff
+    assert (bg % 8 == 0) or (bg == Kp // g_eff), (bg, Kp, g_eff)
+
     bn = min(bn, N)
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)
-    bm = min(bm, M) if M % 8 == 0 or M < 8 else 8
+    bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
 
-    grid = (cdiv(M, bm), cdiv(N, bn), Kp // bkp)
-    bg = bkp // g_eff
-    group_size = g_eff
+    nbk = Kp // bkp
+    grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
     kernel = functools.partial(
-        _kernel, group_size=group_size, n_k_blocks=grid[2], mid=mid
+        _kernel, group_size=g_eff, n_k_blocks=nbk, mid=mid
     )
-    sdtype = scale.dtype
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k)),
-            pl.BlockSpec(
-                (bm, bkp), lambda i, j, k, _kb=Kp // bkp: (i, k + _kb)
-            ),
-            pl.BlockSpec((bn, bkp), lambda i, j, k: (j, k)),
-            pl.BlockSpec((bn, bg), lambda i, j, k: (j, k)),
-            pl.BlockSpec(
-                (bn, bg), lambda i, j, k, _gb=Kp // group_size // bg: (j, k + _gb)
-            ),
-            pl.BlockSpec((bn, bg), lambda i, j, k: (j, k)),
-            pl.BlockSpec(
-                (bn, bg), lambda i, j, k, _gb=Kp // group_size // bg: (j, k + _gb)
-            ),
+            pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k + nbk)),
+            pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k + nbk, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k + nbk, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
@@ -148,7 +138,7 @@ def int4_dq_matmul(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * M * N * K,
-            bytes_accessed=N * Kp + scale.size * 2 * 2 + M * K * 2 * 2,
+            bytes_accessed=Kp * N + scale.size * 4 + M * K * 4,
             transcendentals=0,
         ),
     )(
@@ -160,13 +150,12 @@ def int4_dq_matmul(
 
 
 def int4_dq_matmul_reference(x, wp, scale, zero, *, group_size, mid=8.0):
-    """jnp oracle with identical math."""
+    """jnp oracle with identical math (wp/scale/zero K-major)."""
     from torchao_tpu.qtypes.packing import unpack_int4
 
-    q = unpack_int4(wp, axis=-1).astype(jnp.bfloat16)
-    N, K = q.shape
-    s = jnp.repeat(scale.astype(jnp.bfloat16), group_size, axis=-1)
-    z = jnp.repeat(zero.astype(jnp.bfloat16), group_size, axis=-1)
+    q = unpack_int4(wp.T, axis=-1).astype(jnp.bfloat16)  # [N, K]
+    s = jnp.repeat(scale.T.astype(jnp.bfloat16), group_size, axis=-1)
+    z = jnp.repeat(zero.T.astype(jnp.bfloat16), group_size, axis=-1)
     dq = (q - mid) * s + z
     return jax.lax.dot_general(
         x, dq, (((1,), (1,)), ((), ())),
@@ -180,7 +169,8 @@ def int4_dq_matmul_reference(x, wp, scale, zero, *, group_size, mid=8.0):
 
 
 def int4_dq_matmul_available(x, w):
-    """Returns an impl callable when the Pallas kernel supports this case."""
+    """Returns an impl callable when the Pallas kernel supports this case
+    (TILED_NIBBLES K-major layout, aligned shapes, FLOAT zero domain)."""
     from torchao_tpu.qtypes.intx import IntxArray
 
     if not isinstance(w, IntxArray):
@@ -194,9 +184,9 @@ def int4_dq_matmul_available(x, w):
     N, K = w.shape
     group_size = w.block_size[-1]
     Kp = K // 2
-    if Kp % group_size != 0 and group_size < Kp:
+    if group_size < Kp and Kp % group_size != 0:
         return None
-    if K % 256 != 0 or N % 256 != 0:
+    if Kp % 128 != 0 or N % 128 != 0:
         return None
     mid = (w.quant_max + w.quant_min + 1) / 2 - w.quant_min
 

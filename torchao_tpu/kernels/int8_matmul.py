@@ -1,9 +1,136 @@
-"""int8 scaled matmul Pallas kernel (placeholder probe).
+"""int8×int8 scaled matmul Pallas kernel.
 
-Will replace the reference's ``safe_int_mm`` / ``int_scaled_matmul``
-(``torchao/kernel/intmm.py``, ``intmm_triton.py``).
+TPU replacement for the reference's ``safe_int_mm`` / ``int_scaled_matmul``
+(``torchao/kernel/intmm.py:30,108``, Triton ``intmm_triton.py``) and the
+cuBLAS int8 path behind ``_linear_int8_act_int8_weight_impl``
+(``plain_layout.py:281-315``): int8 activations (per-token scales) ×
+int8 weights (per-channel scales) accumulated in int32 on the MXU, scale
+epilogue fused.
 """
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchao_tpu.utils import cdiv
+
+
+def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = (
+            acc_ref[:].astype(jnp.float32)
+            * xs_ref[:].astype(jnp.float32)
+            * ws_ref[:].astype(jnp.float32)
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret")
+)
+def int8_scaled_matmul(
+    x_q: jnp.ndarray,      # [M, K] int8
+    w_q: jnp.ndarray,      # [N, K] int8
+    x_scale: jnp.ndarray,  # [M] or [M, 1]
+    w_scale: jnp.ndarray,  # [N] or [N, 1]
+    out_dtype=jnp.bfloat16,
+    *,
+    bm: Optional[int] = None,
+    bn: int = 512,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = (x_q @ w_q.T) * x_scale[:, None] * w_scale[None, :]."""
+    M, K = x_q.shape
+    N, K2 = w_q.shape
+    assert K == K2, (K, K2)
+    xs = x_scale.reshape(M, 1).astype(jnp.float32)
+    ws = w_scale.reshape(1, N).astype(jnp.float32)
+
+    bk = min(bk, K)
+    while K % bk:
+        bk //= 2
+    bn = min(bn, N)
+    if bm is None:
+        bm = 32 if M <= 32 else min(256, M)
+    bm = min(bm, M) if (M % 32 == 0 or M < 32) else 32
+
+    nbk = K // bk
+    grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+    kernel = functools.partial(_kernel, n_k_blocks=nbk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + N * K + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x_q, w_q, xs, ws)
+
+
+def int8_scaled_matmul_reference(x_q, w_q, x_scale, w_scale,
+                                 out_dtype=jnp.bfloat16):
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (
+        acc.astype(jnp.float32)
+        * x_scale.reshape(-1, 1).astype(jnp.float32)
+        * w_scale.reshape(1, -1).astype(jnp.float32)
+    )
+    return out.astype(out_dtype)
 
 
 def int8_scaled_matmul_available(x_q, w):
-    return None
+    """Probe for the int8dq dispatch (LinearActivationQuantizedArray path).
+
+    ``w`` is the inner IntxArray (int8, per-channel symmetric, PLAIN)."""
+    from torchao_tpu.qtypes.intx import IntxArray
+
+    if not isinstance(w, IntxArray) or w.qdata.ndim != 2:
+        return None
+    N, K = w.qdata.shape
+    if K % 128 != 0 or N % 128 != 0:
+        return None
+    if w.scale.ndim not in (1, 2):
+        return None
+
+    def impl(x_q_in, x_scale, w_arr, out_hp_dtype):
+        x2 = x_q_in.reshape(-1, K)
+        w_scale = w_arr.scale.reshape(-1)
+        out = int8_scaled_matmul(
+            x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
+            out_dtype=out_hp_dtype,
+        )
+        return out.reshape(x_q_in.shape[:-1] + (N,))
+
+    return impl

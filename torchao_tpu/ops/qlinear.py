@@ -278,6 +278,22 @@ def _impl_laqt_generic(x, w, bias, preference):
     return out + bias if bias is not None else out
 
 
+def _check_qat_fake_quantized(x, w, bias):
+    from torchao_tpu.quantization.qat.api import QATFakeQuantizedArray
+
+    return isinstance(w, QATFakeQuantizedArray)
+
+
+def _impl_qat_fake_quantized(x, w, bias, preference):
+    """QAT training path: fake-quantize activation + weight (STE), hp
+    matmul — the JAX counterpart of ``FakeQuantizedLinear.forward``
+    (reference ``qat/linear.py:42``)."""
+    xq = w.fake_quantize_activation(x)
+    wq = w.fake_quantized_weight()
+    out = jnp.matmul(xq, wq.T)
+    return out + bias if bias is not None else out
+
+
 def _check_smoothquant_scale(x, w, bias):
     return isinstance(w, WeightTensorWithLinearActivationScaleMetadata)
 
@@ -296,6 +312,9 @@ def _fallback(x, w, bias):
 
 # registration order matters (first match wins), mirroring
 # affine_quantized_tensor_ops.py:191-262
+register_qlinear_dispatch(
+    "qat_fake_quantized", _check_qat_fake_quantized, _impl_qat_fake_quantized
+)
 register_qlinear_dispatch(
     "smoothquant_scale", _check_smoothquant_scale, _impl_smoothquant_scale
 )

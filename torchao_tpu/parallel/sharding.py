@@ -55,18 +55,21 @@ def _llama_weight_specs(model_axis: str) -> Dict[str, P]:
     }
 
 
-def _spec_for_leaf(base: P, leaf) -> P:
+def _spec_for_leaf(base: P, leaf, transposed: bool = False) -> P:
     """Project a weight's PartitionSpec onto one of its quantized leaves.
 
     All integrated quant schemes reduce over *trailing* dims, so a
     lower-rank qparam leaf (per-channel scale) keeps the leading entries of
     the weight spec; equal-rank leaves (group scales, packed qdata) keep
-    the full spec.
+    the full spec. ``transposed`` handles K-major storage (TILED_NIBBLES:
+    leaves are [..., K', N], so the last two spec entries swap).
     """
     ndim = getattr(leaf, "ndim", None)
     if ndim is None:
         return base
-    entries = tuple(base) + (None,) * max(0, ndim - len(tuple(base)))
+    entries = list(base) + [None] * max(0, ndim - len(tuple(base)))
+    if transposed and len(entries) >= 2:
+        entries[-1], entries[-2] = entries[-2], entries[-1]
     return P(*entries[:ndim])
 
 
@@ -87,6 +90,9 @@ def llama_param_specs(
                 parts.append(str(k.idx))
         return ".".join(parts)
 
+    from torchao_tpu.qtypes.base import PackingFormat
+    from torchao_tpu.qtypes.intx import IntxArray
+
     def spec_of(key_path, leaf):
         path = path_str(key_path)
         base = None
@@ -96,7 +102,33 @@ def llama_param_specs(
                 break
         if base is None:
             base = P()
-        return NamedSharding(mesh, _spec_for_leaf(base, leaf))
+        # K-major (transposed) storage: TILED_NIBBLES IntxArray leaves
+        transposed = ".qdata" in path or ".scale" in path or ".zero_point" in path
+        if transposed:
+            # only actually swapped when the owning array is K-major; find
+            # the owning packing format by re-walking the params path
+            transposed = _is_tiled_kmajor(params, key_path)
+        return NamedSharding(
+            mesh, _spec_for_leaf(base, leaf, transposed=transposed)
+        )
+
+    def _is_tiled_kmajor(root, key_path):
+        node = root
+        for k in key_path:
+            if isinstance(node, IntxArray):
+                return node.packing_format is PackingFormat.TILED_NIBBLES
+            if hasattr(k, "key"):
+                node = node[k.key]
+            elif hasattr(k, "name"):
+                node = getattr(node, k.name)
+            elif hasattr(k, "idx"):
+                node = node[k.idx]
+            else:
+                return False
+        return (
+            isinstance(node, IntxArray)
+            and node.packing_format is PackingFormat.TILED_NIBBLES
+        )
 
     return jax.tree_util.tree_map_with_path(spec_of, params)
 

@@ -137,11 +137,24 @@ class IntxArray(QuantizedArray):
         logical_shape = tuple(w.shape)
         if packing_format is PackingFormat.TILED_NIBBLES:
             # any 4-bit-range target packs (int4, uint4, or the reference's
-            # tinygemm int32-with-qmin0/qmax15 convention)
+            # tinygemm int32-with-qmin0/qmax15 convention). Storage is
+            # K-MAJOR: qdata [..., K/2, N], scale/zero [..., K/g, N] — the
+            # MXU-natural orientation consumed by the Pallas kernel
+            # (kernels/int4_matmul.py).
             assert quant_max - quant_min <= 15, (quant_min, quant_max)
             if quant_min != 0:
                 qdata = (qdata.astype(jnp.int32) - quant_min)
             qdata = pack_int4(qdata.astype(jnp.uint8), axis=-1)
+            qdata = jnp.swapaxes(qdata, -1, -2)
+            # full-K groups give rank-(n-1) qparams; normalize to
+            # [..., N, 1] before transposing to K-major [..., 1, N]
+            while scale.ndim < w.ndim:
+                scale = scale[..., None]
+            scale = jnp.swapaxes(scale, -1, -2)
+            if zero_point is not None:
+                while zero_point.ndim < w.ndim:
+                    zero_point = zero_point[..., None]
+                zero_point = jnp.swapaxes(zero_point, -1, -2)
 
         return cls(
             qdata=qdata,
@@ -160,29 +173,40 @@ class IntxArray(QuantizedArray):
     # --- unpack / dequantize ----------------------------------------------
     def unpacked_qdata(self) -> jnp.ndarray:
         """qdata with packing undone — integer values in the target dtype's
-        range, stored as int8/uint8."""
+        range, stored as int8/uint8, logical [..., N, K] orientation."""
         if self.packing_format is PackingFormat.PLAIN:
             return self.qdata
-        q = unpack_int4(self.qdata, axis=-1)
+        q = unpack_int4(jnp.swapaxes(self.qdata, -1, -2), axis=-1)
         if self.quant_min != 0:
             q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)
         return q
+
+    def _logical_qparams(self):
+        """scale/zero in logical blocked orientation [..., N, K/g]."""
+        if self.packing_format is PackingFormat.TILED_NIBBLES:
+            zp = (
+                None if self.zero_point is None
+                else jnp.swapaxes(self.zero_point, -1, -2)
+            )
+            return jnp.swapaxes(self.scale, -1, -2), zp
+        return self.scale, self.zero_point
 
     def dequantize(self, output_dtype=None) -> jnp.ndarray:
         if output_dtype is None:
             output_dtype = self.dtype
         q = self.unpacked_qdata()
+        scale, zero_point = self._logical_qparams()
         if self.zero_point_domain is ZeroPointDomain.FLOAT:
             return qp.dequantize_affine_tinygemm(
-                q.astype(output_dtype), self.block_size, self.scale,
-                self.zero_point, None, self.quant_min, self.quant_max,
+                q.astype(output_dtype), self.block_size, scale,
+                zero_point, None, self.quant_min, self.quant_max,
                 output_dtype=output_dtype,
             )
         if self.zero_point_domain is ZeroPointDomain.NONE:
             return qp.dequantize_affine_no_zero_point(
-                q, self.block_size, self.scale, output_dtype=output_dtype
+                q, self.block_size, scale, output_dtype=output_dtype
             )
         return qp.dequantize_affine(
-            q, self.block_size, self.scale, self.zero_point,
+            q, self.block_size, scale, zero_point,
             output_dtype=output_dtype,
         )

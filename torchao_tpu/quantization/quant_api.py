@@ -250,9 +250,9 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
         from torchao_tpu.qtypes.intx import IntxArray as _I
 
         return _I(
-            qdata=qp_pack_uint4(q),
-            scale=scale.astype(w.dtype),
-            zero_point=zero.astype(w.dtype),
+            qdata=jnp.swapaxes(qp_pack_uint4(q), -1, -2),
+            scale=jnp.swapaxes(scale.astype(w.dtype), -1, -2),
+            zero_point=jnp.swapaxes(zero.astype(w.dtype), -1, -2),
             block_size=block_size,
             target_dtype="uint4",
             quant_min=0,

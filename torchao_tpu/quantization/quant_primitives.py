@@ -965,10 +965,11 @@ def choose_qparams_and_quantize_affine_hqq(
 
     wq = jnp.clip(jnp.round(w * inv_scale + zero), qmin, qmax)
     scale = 1.0 / inv_scale
-    q = wq.astype(jnp.uint8).reshape(orig_shape[0], -1)
-    # scale/zero per group: shape [n, k/group_size]
-    scale = scale.reshape(orig_shape[0], -1)
-    zero = zero.reshape(orig_shape[0], -1)
+    q = wq.astype(jnp.uint8).reshape(orig_shape)
+    # scale/zero per group: shape [..., k/group_size]
+    qshape = tuple(orig_shape[:-1]) + (orig_shape[-1] // group_size,)
+    scale = scale.reshape(qshape)
+    zero = zero.reshape(qshape)
     return q, scale, zero, orig_shape
 
 
