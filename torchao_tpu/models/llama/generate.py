@@ -169,16 +169,18 @@ def benchmark_decode(
         )
         first, cache = prefill(params, prompt, cache, key, 0.6, 200)
         rest, cache = decode_n(params, first, cache, prompt_len, key, 0.6, 200)
-        return rest
+        # NOTE: sync via value fetch — block_until_ready can return early
+        # on remote backends (see .claude/skills/verify/SKILL.md)
+        return int(rest[0, -1])
 
     # warmup / compile
     for _ in range(warmup):
-        jax.block_until_ready(run())
+        run()
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        run()
         times.append(time.perf_counter() - t0)
     t = min(times)
     # prefill time is included; with short prompts decode dominates

@@ -1,0 +1,197 @@
+"""Autoquant: per-shape empirical selection of the best quantization.
+
+Re-design of the reference's ``torchao/quantization/autoquant.py``
+(``AutoQuantizableLinearWeight:77`` records shapes via torch_function,
+``do_autoquant_bench:327`` times each candidate, ``autoquant():1204``):
+in JAX the shape recording is unnecessary — weights are pytree leaves with
+known shapes, and batch dims are supplied explicitly — so autoquant is a
+direct benchmark-and-pick over candidate configs, with a per-(M, N, K,
+config) timing cache so stacked/repeated layers are measured once.
+
+``min_sqnr`` gates candidates on accuracy vs the bf16 linear, like the
+reference's runtime knob.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchao_tpu.core.config import AOBaseConfig
+from torchao_tpu.quantization.transform_module import get_quantize_handler
+from torchao_tpu.utils import compute_error
+
+logger = logging.getLogger(__name__)
+
+
+def _default_candidates() -> List[Optional[AOBaseConfig]]:
+    from torchao_tpu.quantization.quant_api import (
+        Int8DynamicActivationInt8WeightConfig,
+        Int8WeightOnlyConfig,
+    )
+
+    # parity with DEFAULT_AUTOQUANT_CLASS_LIST (autoquant.py:1053):
+    # hp float, int8 weight-only, int8 dynamic act
+    return [
+        None,
+        Int8WeightOnlyConfig(),
+        Int8DynamicActivationInt8WeightConfig(),
+    ]
+
+
+def default_autoquant_class_list():
+    return _default_candidates()
+
+
+def default_int4_autoquant_class_list():
+    from torchao_tpu.quantization.quant_api import Int4WeightOnlyConfig
+
+    return [
+        None,
+        Int4WeightOnlyConfig(group_size=64),
+        Int4WeightOnlyConfig(group_size=64, use_hqq=True),
+    ]
+
+
+def default_float_autoquant_class_list():
+    from torchao_tpu.quantization.quant_api import (
+        Float8DynamicActivationFloat8WeightConfig,
+        Float8WeightOnlyConfig,
+    )
+    from torchao_tpu.quantization.granularity import PerRow
+
+    return [
+        None,
+        Float8WeightOnlyConfig(),
+        Float8DynamicActivationFloat8WeightConfig(granularity=PerRow()),
+    ]
+
+
+def all_autoquant_class_list():
+    return (
+        _default_candidates()
+        + default_int4_autoquant_class_list()[1:]
+        + default_float_autoquant_class_list()[1:]
+    )
+
+
+def _bench_linear(x, w, iters: int = 5) -> float:
+    from torchao_tpu import ops
+
+    f = jax.jit(lambda x, w: ops.linear(x, w))
+    # sync via value fetch (block_until_ready unreliable on remote backends)
+    float(jnp.ravel(f(x, w))[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(x, w)
+    float(jnp.ravel(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def _config_key(cfg) -> str:
+    if cfg is None:
+        return "none"
+    return f"{type(cfg).__name__}:{dataclasses.asdict(cfg)}"
+
+
+def autoquant_(
+    params,
+    qtensor_class_list: Optional[Sequence[Optional[AOBaseConfig]]] = None,
+    *,
+    batch_sizes: Sequence[int] = (1,),
+    filter_fn: Optional[Callable[[str, Any], bool]] = None,
+    min_sqnr: Optional[float] = None,
+    iters: int = 5,
+    seed: int = 0,
+) -> Tuple[Any, Dict[str, str]]:
+    """Returns (quantized params, {path: chosen config name}).
+
+    For every matched weight leaf, times ``ops.linear`` at each batch size
+    for each candidate config (summing times across batch sizes, the
+    reference's interpolation ``:232-255`` simplified) and keeps the
+    fastest that passes ``min_sqnr``.
+    """
+    from torchao_tpu.quantization.quant_api import _default_filter, _path_str
+
+    if qtensor_class_list is None:
+        qtensor_class_list = _default_candidates()
+    if filter_fn is None:
+        filter_fn = _default_filter
+
+    timing_cache: Dict[Tuple, float] = {}
+    sqnr_cache: Dict[Tuple, float] = {}
+    decisions: Dict[str, str] = {}
+    rng = np.random.RandomState(seed)
+
+    def decide(path, leaf):
+        if not filter_fn(path, leaf) or not hasattr(leaf, "shape"):
+            return leaf
+        shape = tuple(leaf.shape)
+        N, K = shape[-2], shape[-1]
+        w2 = (
+            leaf.reshape(-1, K)[:N] if leaf.ndim > 2 else leaf
+        )  # benchmark one layer slice of stacked weights
+        dtype = leaf.dtype
+        xs = {
+            m: jnp.asarray(rng.randn(m, K), dtype) for m in batch_sizes
+        }
+        ref_outs = {
+            m: jnp.matmul(xs[m], w2.T) for m in batch_sizes
+        }
+
+        best_cfg, best_t = None, None
+        for cfg in qtensor_class_list:
+            key = (N, K, tuple(batch_sizes), _config_key(cfg))
+            if key not in timing_cache:
+                if cfg is None:
+                    qw = w2
+                else:
+                    qw = get_quantize_handler(cfg)(w2, cfg)
+                    if isinstance(qw, jnp.ndarray):
+                        # handler declined (e.g. shape constraints)
+                        timing_cache[key] = float("inf")
+                        sqnr_cache[key] = -1.0
+                        continue
+                t = 0.0
+                worst_sqnr = float("inf")
+                for m in batch_sizes:
+                    t += _bench_linear(xs[m], qw, iters)
+                    if cfg is not None:
+                        from torchao_tpu import ops
+
+                        worst_sqnr = min(
+                            worst_sqnr,
+                            compute_error(
+                                ref_outs[m], ops.linear(xs[m], qw)
+                            ),
+                        )
+                timing_cache[key] = t
+                sqnr_cache[key] = worst_sqnr
+            t = timing_cache[key]
+            if min_sqnr is not None and cfg is not None:
+                if sqnr_cache[key] < min_sqnr:
+                    continue
+            if best_t is None or t < best_t:
+                best_cfg, best_t = cfg, t
+
+        decisions[path] = _config_key(best_cfg)
+        if best_cfg is None:
+            return leaf
+        return get_quantize_handler(best_cfg)(leaf, best_cfg)
+
+    out = jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: decide(_path_str(kp), leaf),
+        params,
+        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)),
+    )
+    return out, decisions
+
+
+# API-parity alias (reference exposes `autoquant`)
+autoquant = autoquant_

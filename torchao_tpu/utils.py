@@ -37,17 +37,21 @@ def benchmark_fn(
     """Median wall-clock seconds per call of a (usually jitted) fn.
 
     JAX analog of the reference's ``benchmark_model``
-    (``torchao/utils.py:69-123``): device-synchronized via
-    ``block_until_ready``.
+    (``torchao/utils.py:69-123``). Synchronizes via a value fetch:
+    ``block_until_ready`` can return before device completion on remote
+    backends (axon tunnel).
     """
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
+
     for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        sync(fn(*args))
     times = []
     for _ in range(num_runs):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
