@@ -145,3 +145,29 @@ class TestQuantizedModel:
             kv_cache_quantization=True,
         )
         assert out.shape == (1, 8)
+
+    def test_pallas_attention_path_matches_xla(
+        self, model_and_params, monkeypatch
+    ):
+        """Force the Pallas quantized-KV decode path (interpret mode on
+        CPU) and compare against the XLA dequant-whole-cache path."""
+        import torchao_tpu.models.llama.model as M
+
+        model, params = model_and_params
+        toks = jnp.asarray(
+            np.random.RandomState(7).randint(0, 512, (2, 6)), jnp.int32
+        )
+        # prefill with quantized cache via XLA path
+        qcache = model.setup_caches(2, 8, quantize=True)
+        l0, qcache = model(params, toks, 0, qcache)
+
+        # decode one token both ways from identical cache state
+        nxt = jnp.argmax(l0[:, -1], -1).astype(jnp.int32)[:, None]
+
+        monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: False)
+        ref_logits, _ = model(params, nxt, 6, qcache)
+
+        monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: True)
+        ker_logits, _ = model(params, nxt, 6, qcache)
+
+        assert compute_error(ref_logits, ker_logits) > 30

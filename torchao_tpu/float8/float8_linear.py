@@ -1,0 +1,221 @@
+"""Float8 training linear: 3-gemm custom-VJP with per-gemm cast configs.
+
+Re-design of the reference's ``Float8Linear`` /
+``matmul_with_hp_or_float8_args`` (``float8_linear.py:29-205``) as a
+``jax.custom_vjp`` function: forward casts input and weight to e4m3 and
+runs the output gemm; backward casts grad_output to e5m2 and runs the
+grad_input and grad_weight gemms, each operand with its own
+``CastConfig`` (TENSORWISE or AXISWISE scaling, optional hp bypass).
+
+Under a sharded mesh the fp8 casts happen *before* XLA's all-gathers, so
+fp8 all-gather (the reference's FSDP2 ``WeightWithDynamicFloat8CastTensor``
+trick, ``fsdp_utils.py:28``) falls out of sharding propagation for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu.float8.config import (
+    CastConfig,
+    Float8LinearConfig,
+    ScalingGranularity,
+)
+from torchao_tpu.qtypes.base import (
+    QuantizedArray,
+    qarray_dataclass,
+    static_field,
+)
+
+
+def _cast_fp8(
+    t: jnp.ndarray,
+    cfg: Optional[CastConfig],
+    axis: int,
+    round_pow2: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cast to fp8 with a scale; returns (values_hp_equivalent, None) when
+    cfg keeps high precision. ``axis`` is the contraction axis for
+    AXISWISE scaling (scale computed along it)."""
+    if cfg is None or cfg.dtype is None:
+        return t, None
+    dtype = jnp.dtype(cfg.dtype)
+    fp8_max = float(jnp.finfo(dtype).max)
+    t32 = t.astype(jnp.float32)
+    if cfg.scaling_granularity is ScalingGranularity.TENSORWISE:
+        amax = jnp.max(jnp.abs(t32))
+    else:
+        amax = jnp.max(jnp.abs(t32), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / fp8_max
+    if round_pow2:
+        # round the divisor UP so values never clip (the reference floors
+        # its reciprocal multiplier — same thing)
+        scale = jnp.exp2(jnp.ceil(jnp.log2(scale)))
+    q = jnp.clip(t32 / scale, -fp8_max, fp8_max).astype(dtype)
+    return q, scale
+
+
+def _scaled_mm(a, a_scale, b, b_scale, dims):
+    """dot_general on (possibly fp8) operands with f32 accumulation and
+    scale epilogue."""
+    acc = jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
+        preferred_element_type=jnp.float32,
+    )
+    if a_scale is not None:
+        # a contracted on dims[0][0]: scale broadcasts over output rows
+        acc = acc * _squeeze_to(a_scale, acc.ndim, 0)
+    if b_scale is not None:
+        acc = acc * _squeeze_to(b_scale, acc.ndim, 1)
+    return acc
+
+
+def _squeeze_to(scale, out_ndim, operand_idx):
+    """Reshape an axiswise scale for the output: operand 0 scales map to
+    output rows, operand 1 scales to output cols. Tensorwise scales are
+    scalars and broadcast trivially."""
+    s = jnp.squeeze(scale)
+    if s.ndim == 0:
+        return s
+    if operand_idx == 0:
+        return s.reshape(-1, 1)
+    return s.reshape(1, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def float8_linear(
+    x: jnp.ndarray,        # [..., K]
+    w: jnp.ndarray,        # [N, K]
+    config: Float8LinearConfig = Float8LinearConfig(),
+) -> jnp.ndarray:
+    out, _ = _fwd(x, w, config)
+    return out
+
+
+def _fwd(x, w, config: Float8LinearConfig):
+    rp2 = config.round_scales_to_power_of_2
+    x2 = x.reshape(-1, x.shape[-1])
+    xq, xs = _cast_fp8(x2, config.cast_config_input, 1, rp2)
+    wq, ws = _cast_fp8(w, config.cast_config_weight, 1, rp2)
+    out = _scaled_mm(xq, xs, wq, ws, (((1,), (1,)), ((), ())))
+    out = out.reshape(x.shape[:-1] + (w.shape[0],)).astype(x.dtype)
+    return out, (x, w)
+
+
+def _bwd(config: Float8LinearConfig, res, g):
+    x, w = res
+    rp2 = config.round_scales_to_power_of_2
+    g2 = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    x2 = x.reshape(-1, x.shape[-1])
+
+    # grad_input = g @ w       (contract over N)
+    gq, gs = _cast_fp8(g2, config.cast_config_grad_output, 1, rp2)
+    wq2, ws2 = _cast_fp8(w, config.cast_config_weight, 0, rp2)
+    dx = _scaled_mm(gq, gs, wq2, ws2, (((1,), (0,)), ((), ())))
+    dx = dx.reshape(x.shape).astype(x.dtype)
+
+    # grad_weight = gᵀ @ x     (contract over tokens)
+    cc_g = (
+        config.cast_config_grad_output_for_grad_weight
+        if config.cast_config_grad_output_for_grad_weight is not None
+        else config.cast_config_grad_output
+    )
+    cc_x = (
+        config.cast_config_input_for_grad_weight
+        if config.cast_config_input_for_grad_weight is not None
+        else config.cast_config_input
+    )
+    gq2, gs2 = _cast_fp8(g2, cc_g, 0, rp2)
+    xq2, xs2 = _cast_fp8(x2, cc_x, 0, rp2)
+    dw = _scaled_mm(
+        jnp.swapaxes(gq2, 0, 1), gs2,
+        jnp.swapaxes(xq2, 0, 1), xs2,
+        (((1,), (1,)), ((), ())),
+    )
+    dw = dw.astype(w.dtype)
+    return dx, dw
+
+
+float8_linear.defvjp(
+    lambda x, w, config: _fwd(x, w, config),
+    _bwd,
+)
+
+
+# ---------------------------------------------------------------------------
+# training weight wrapper + conversion
+# ---------------------------------------------------------------------------
+
+
+@qarray_dataclass
+class Float8TrainingWeight(QuantizedArray):
+    """Trainable hp weight + a Float8LinearConfig; qlinear dispatch routes
+    through :func:`float8_linear` (the module-swap analog of
+    ``convert_to_float8_training``, reference
+    ``float8_linear_utils.py:86``)."""
+
+    weight: jnp.ndarray
+    config: Float8LinearConfig = static_field(
+        default_factory=Float8LinearConfig
+    )
+
+    @property
+    def shape(self):
+        return self.weight.shape
+
+    @property
+    def dtype(self):
+        return self.weight.dtype
+
+    def dequantize(self, output_dtype=None):
+        w = self.weight
+        return w if output_dtype is None else w.astype(output_dtype)
+
+
+def convert_to_float8_training(
+    params,
+    config: Optional[Float8LinearConfig] = None,
+    filter_fn=None,
+):
+    """Wrap matched linear weights for fp8 training (reference
+    ``convert_to_float8_training``, ``float8_linear_utils.py:86``)."""
+    from torchao_tpu.quantization.quant_api import _default_filter, _path_str
+
+    if config is None:
+        config = Float8LinearConfig()
+    if filter_fn is None:
+        filter_fn = _default_filter
+
+    def wrap(kp, leaf):
+        if not filter_fn(_path_str(kp), leaf):
+            return leaf
+        return Float8TrainingWeight(weight=leaf, config=config)
+
+    return jax.tree_util.tree_map_with_path(
+        wrap, params,
+        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)),
+    )
+
+
+def _register_dispatch():
+    from torchao_tpu.ops.qlinear import _DISPATCH, register_qlinear_dispatch
+
+    if any(n == "float8_training" for n, _, _ in _DISPATCH):
+        return
+
+    def check(x, w, b):
+        return isinstance(w, Float8TrainingWeight)
+
+    def impl(x, w, bias, preference):
+        out = float8_linear(x, w.weight, w.config)
+        return out + bias if bias is not None else out
+
+    register_qlinear_dispatch("float8_training", check, impl)
+
+
+_register_dispatch()

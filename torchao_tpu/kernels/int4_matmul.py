@@ -114,6 +114,7 @@ def int4_dq_matmul(
         bm = 8 if M <= 8 else min(256, M)
     bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
 
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 

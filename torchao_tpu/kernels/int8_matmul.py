@@ -72,6 +72,7 @@ def int8_scaled_matmul(
         bm = 32 if M <= 32 else min(256, M)
     bm = min(bm, M) if (M % 32 == 0 or M < 32) else 32
 
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     nbk = K // bk
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(_kernel, n_k_blocks=nbk)

@@ -1,0 +1,163 @@
+"""Quantized-KV flash-decode attention Pallas kernel.
+
+TPU replacement for the reference's int8 SDPA (``csrc/cpu/int8_sdpa.cpp``)
+and the ``AffineQuantizedKVCache`` dequantize-whole-cache-per-step pattern
+(``_models/llama/model.py:198-240``): the kernel consumes the int8 KV
+cache + per-token scales *directly*, dequantizing block-by-block in VMEM —
+cache HBM traffic is the int8 bytes, never a materialized bf16 copy.
+
+Decode case (T=1 per step, GQA): one grid cell per (batch, kv-head), an
+online-softmax sweep over key blocks with running (m, l, acc) in VMEM
+scratch. Query heads of one GQA group ride the sublane dim.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchao_tpu.utils import cdiv
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    pos_ref,  # scalar prefetch: [1] int32 — last valid cache index
+    q_ref,    # [1, 1, G, Dh] bf16
+    kq_ref,   # [1, 1, bs, Dh] int8
+    ks_ref,   # [1, 1, bs, 1] bf16
+    vq_ref,   # [1, 1, bs, Dh] int8
+    vs_ref,   # [1, 1, bs, 1] bf16
+    out_ref,  # [1, 1, G, Dh] f32
+    m_ref, l_ref, acc_ref,
+    *, bs: int, scale: float, n_s_blocks: int,
+):
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[0]
+    block_start = s * bs
+
+    @pl.when(block_start <= pos)
+    def _():
+        q = q_ref[0, 0]                      # [G, Dh]
+        k = kq_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(
+            jnp.bfloat16
+        )                                     # [bs, Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                             # [G, bs]
+
+        idx = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )
+        scores = jnp.where(idx <= pos, scores, NEG_INF)
+
+        m_old = m_ref[:]                      # [G, 1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
+        p = jnp.exp(scores - m_new)           # [G, bs]
+        alpha = jnp.exp(m_old - m_new)        # [G, 1]
+
+        v = vq_ref[0, 0].astype(jnp.bfloat16) * vs_ref[0, 0].astype(
+            jnp.bfloat16
+        )                                     # [bs, Dh]
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                     # [G, Dh]
+
+        m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == n_s_blocks - 1)
+    def _():
+        out_ref[0, 0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bs", "interpret")
+)
+def quantized_kv_decode_attention(
+    q: jnp.ndarray,        # [B, Hkv, G, Dh] bf16 (GQA group on sublanes)
+    k_q: jnp.ndarray,      # [B, Hkv, S, Dh] int8
+    k_scale: jnp.ndarray,  # [B, Hkv, S, 1]
+    v_q: jnp.ndarray,      # [B, Hkv, S, Dh] int8
+    v_scale: jnp.ndarray,  # [B, Hkv, S, 1]
+    pos: jnp.ndarray,      # scalar int32: attend to cache slots <= pos
+    *,
+    scale: Optional[float] = None,
+    bs: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, Hkv, G, Dh] f32 attention output."""
+    B, Hkv, G, Dh = q.shape
+    S = k_q.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(Dh)
+    bs = min(bs, S)
+    while S % bs:
+        bs //= 2
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    n_s = S // bs
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, Dh), lambda b, h, s, *prefetch: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, bs, Dh), lambda b, h, s, *prefetch: (b, h, s, 0)),
+            pl.BlockSpec((1, 1, bs, 1), lambda b, h, s, *prefetch: (b, h, s, 0)),
+            pl.BlockSpec((1, 1, bs, Dh), lambda b, h, s, *prefetch: (b, h, s, 0)),
+            pl.BlockSpec((1, 1, bs, 1), lambda b, h, s, *prefetch: (b, h, s, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, Dh), lambda b, h, s, *prefetch: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, Dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, bs=bs, scale=scale, n_s_blocks=n_s
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), jnp.float32),
+        interpret=interpret,
+    )(jnp.atleast_1d(pos).astype(jnp.int32), q, k_q, k_scale, v_q, v_scale)
+
+
+def quantized_kv_decode_attention_reference(
+    q, k_q, k_scale, v_q, v_scale, pos, scale=None
+):
+    """jnp oracle: dequantize the whole cache (the reference model's own
+    strategy) and run masked softmax attention."""
+    B, Hkv, G, Dh = q.shape
+    S = k_q.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(Dh)
+    k = k_q.astype(jnp.float32) * k_scale.astype(jnp.float32)
+    v = v_q.astype(jnp.float32) * v_scale.astype(jnp.float32)
+    scores = jnp.einsum(
+        "bhgd,bhsd->bhgs", q.astype(jnp.float32), k
+    ) * scale
+    mask = jnp.arange(S)[None, None, None, :] <= pos
+    scores = jnp.where(mask, scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhgs,bhsd->bhgd", p, v)

@@ -282,6 +282,17 @@ def _update_layer_cache(
 # ---------------------------------------------------------------------------
 
 
+def _pallas_attention_enabled() -> bool:
+    import os
+
+    if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_ATTN") == "1":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _layer_weight(w):
     """Fix static metadata on a per-layer slice of a stacked quantized
     weight: ``lax.scan`` slices the array leaves (dropping the layer axis)
@@ -322,6 +333,40 @@ def _attention(
     v = v.transpose(0, 2, 1, 3)
 
     if layer_cache is not None:
+        # quantized cache + single-token decode on TPU → Pallas kernel
+        # consuming int8 KV directly (no bf16 cache materialization)
+        if "k_q" in layer_cache and T == 1 and _pallas_attention_enabled():
+            from torchao_tpu.kernels.quantized_attention import (
+                quantized_kv_decode_attention,
+            )
+
+            k_qv, k_s = _quantize_kv(k)
+            v_qv, v_s = _quantize_kv(v)
+            new_cache = {
+                "k_q": jax.lax.dynamic_update_slice(
+                    layer_cache["k_q"], k_qv, (0, 0, input_pos, 0)
+                ),
+                "v_q": jax.lax.dynamic_update_slice(
+                    layer_cache["v_q"], v_qv, (0, 0, input_pos, 0)
+                ),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    layer_cache["k_scale"], k_s, (0, 0, input_pos, 0)
+                ),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    layer_cache["v_scale"], v_s, (0, 0, input_pos, 0)
+                ),
+            }
+            g = H // Hkv
+            qg = q[:, :, 0, :].reshape(B, Hkv, g, Dh)
+            attn = quantized_kv_decode_attention(
+                qg,
+                new_cache["k_q"], new_cache["k_scale"],
+                new_cache["v_q"], new_cache["v_scale"],
+                input_pos,
+            )  # [B, Hkv, g, Dh] f32; head h = kvh*g + i matches q order
+            out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
+            out = ops.linear(out, _layer_weight(lw["wo"]))
+            return out, new_cache
         k_full, v_full, new_cache = _update_layer_cache(
             layer_cache, k, v, input_pos
         )

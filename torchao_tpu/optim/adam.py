@@ -1,0 +1,223 @@
+"""Low-bit Adam/AdamW: optimizer state stored quantized.
+
+Covers the reference's ``torchao/optim/adam.py:212-398`` (Adam8bit/4bit/FP8
++ AdamW variants over block-wise quantized state subclasses,
+``subclass_8bit/4bit/fp8.py``) as optax-style gradient transformations:
+``exp_avg`` / ``exp_avg_sq`` live in HBM as int8/int4-packed/fp8 payloads
+with per-block absmax scales; each update dequantizes, applies Adam, and
+requantizes — a 2-4× optimizer-memory reduction with fp32 math in
+registers, which is also exactly what the GPU subclasses do.
+
+Block size defaults to 256 like the reference (``subclass_8bit.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# block-wise quantized state representation
+# --------------------------------------------------------------------------
+
+
+def _pad_to_block(flat: jnp.ndarray, block: int) -> Tuple[jnp.ndarray, int]:
+    n = flat.shape[0]
+    pad = (-n) % block
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat, n
+
+
+def _quantize_state(x: jnp.ndarray, dtype: str, block: int):
+    """Returns (payload, scale) for a flat fp32 array."""
+    flat, n = _pad_to_block(x.reshape(-1).astype(jnp.float32), block)
+    blocks = flat.reshape(-1, block)
+    amax = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+    if dtype == "int8":
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(blocks / scale), -127, 127).astype(jnp.int8)
+    elif dtype == "int4":
+        scale = jnp.maximum(amax, 1e-12) / 7.0
+        q = jnp.clip(jnp.round(blocks / scale), -8, 7).astype(jnp.int8)
+        # pack two int4 per byte (half-split within the block)
+        q = (q + 8).astype(jnp.uint8)
+        lo = q[:, : block // 2]
+        hi = q[:, block // 2 :]
+        q = (lo | (hi << 4)).astype(jnp.uint8)
+    elif dtype == "fp8":
+        scale = jnp.maximum(amax, 1e-12) / 448.0
+        q = jnp.clip(blocks / scale, -448.0, 448.0).astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(dtype)
+    return q, scale[:, 0]
+
+
+def _dequantize_state(q, scale, dtype: str, block: int, shape, size):
+    if dtype == "int8":
+        blocks = q.astype(jnp.float32) * scale[:, None]
+    elif dtype == "int4":
+        lo = (q & 0xF).astype(jnp.int32) - 8
+        hi = ((q >> 4) & 0xF).astype(jnp.int32) - 8
+        vals = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+        blocks = vals * scale[:, None]
+    elif dtype == "fp8":
+        blocks = q.astype(jnp.float32) * scale[:, None]
+    else:
+        raise ValueError(dtype)
+    return blocks.reshape(-1)[:size].reshape(shape)
+
+
+class QuantizedAdamState(NamedTuple):
+    count: jnp.ndarray
+    exp_avg_q: Any
+    exp_avg_scale: Any
+    exp_avg_sq_q: Any
+    exp_avg_sq_scale: Any
+
+
+def quantized_adam(
+    learning_rate: float = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    state_dtype: str = "int8",
+    block_size: int = 256,
+):
+    """optax-style GradientTransformation with quantized moments.
+
+    Small tensors (< block_size elements) keep fp32 state, matching the
+    reference's behavior of only quantizing large states.
+    """
+
+    def should_quantize(p):
+        return p.size >= block_size
+
+    def init(params):
+        def init_leaf(p):
+            if not should_quantize(p):
+                z = jnp.zeros_like(p, jnp.float32)
+                return (z, None, z, None)
+            zq, zs = _quantize_state(
+                jnp.zeros(p.size, jnp.float32), state_dtype, block_size
+            )
+            return (zq, zs, zq, zs)
+
+        leaves = jax.tree_util.tree_map(init_leaf, params)
+        return QuantizedAdamState(
+            count=jnp.zeros((), jnp.int32),
+            exp_avg_q=jax.tree_util.tree_map(
+                lambda t: t[0], leaves, is_leaf=lambda x: isinstance(x, tuple)
+            ),
+            exp_avg_scale=jax.tree_util.tree_map(
+                lambda t: t[1], leaves, is_leaf=lambda x: isinstance(x, tuple)
+            ),
+            exp_avg_sq_q=jax.tree_util.tree_map(
+                lambda t: t[2], leaves, is_leaf=lambda x: isinstance(x, tuple)
+            ),
+            exp_avg_sq_scale=jax.tree_util.tree_map(
+                lambda t: t[3], leaves, is_leaf=lambda x: isinstance(x, tuple)
+            ),
+        )
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, m_q, m_s, v_q, v_s, p):
+            g = g.astype(jnp.float32)
+            if m_s is None:
+                m = m_q
+                v = v_q
+            else:
+                m = _dequantize_state(
+                    m_q, m_s, state_dtype, block_size, g.shape, g.size
+                )
+                v = _dequantize_state(
+                    v_q, v_s, state_dtype, block_size, g.shape, g.size
+                ) ** 2  # v stored in sqrt domain (see _quantize_state note)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            upd_val = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            if weight_decay and p is not None:
+                upd_val = upd_val + weight_decay * p.astype(jnp.float32)
+            delta = (-learning_rate * upd_val).astype(
+                p.dtype if p is not None else jnp.float32
+            )
+            if m_s is None:
+                return delta, (m, None, v, None)
+            mq, ms = _quantize_state(m, state_dtype, block_size)
+            # second moment is quantized in sqrt domain: linear absmax on v
+            # itself zeroes small entries (block max dominates) and Adam
+            # diverges — the reference solves this with dynamic-exponent
+            # quantization (subclass_8bit.py); sqrt-domain linear is the
+            # jnp-native equivalent
+            vq, vs = _quantize_state(jnp.sqrt(v), state_dtype, block_size)
+            return delta, (mq, ms, vq, vs)
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_m = treedef.flatten_up_to(state.exp_avg_q)
+        flat_ms = treedef.flatten_up_to(state.exp_avg_scale)
+        flat_v = treedef.flatten_up_to(state.exp_avg_sq_q)
+        flat_vs = treedef.flatten_up_to(state.exp_avg_sq_scale)
+        flat_p = (
+            treedef.flatten_up_to(params)
+            if params is not None
+            else [None] * len(flat_g)
+        )
+        out = [
+            upd(g, m, ms, v, vs, p)
+            for g, m, ms, v, vs, p in zip(
+                flat_g, flat_m, flat_ms, flat_v, flat_vs, flat_p
+            )
+        ]
+        deltas = treedef.unflatten([o[0] for o in out])
+        new_state = QuantizedAdamState(
+            count=count,
+            exp_avg_q=treedef.unflatten([o[1][0] for o in out]),
+            exp_avg_scale=treedef.unflatten([o[1][1] for o in out]),
+            exp_avg_sq_q=treedef.unflatten([o[1][2] for o in out]),
+            exp_avg_sq_scale=treedef.unflatten([o[1][3] for o in out]),
+        )
+        return deltas, new_state
+
+    try:
+        import optax
+
+        return optax.GradientTransformation(init, update)
+    except ImportError:  # pragma: no cover
+        return init, update
+
+
+# reference-named constructors (optim/adam.py:212-398)
+def Adam8bit(lr=1e-3, **kw):
+    return quantized_adam(lr, state_dtype="int8", **kw)
+
+
+def Adam4bit(lr=1e-3, **kw):
+    return quantized_adam(lr, state_dtype="int4", block_size=kw.pop("block_size", 128), **kw)
+
+
+def AdamFp8(lr=1e-3, **kw):
+    return quantized_adam(lr, state_dtype="fp8", **kw)
+
+
+def AdamW8bit(lr=1e-3, weight_decay=1e-2, **kw):
+    return quantized_adam(lr, weight_decay=weight_decay, state_dtype="int8", **kw)
+
+
+def AdamW4bit(lr=1e-3, weight_decay=1e-2, **kw):
+    return quantized_adam(
+        lr, weight_decay=weight_decay, state_dtype="int4",
+        block_size=kw.pop("block_size", 128), **kw
+    )
+
+
+def AdamWFp8(lr=1e-3, weight_decay=1e-2, **kw):
+    return quantized_adam(lr, weight_decay=weight_decay, state_dtype="fp8", **kw)
