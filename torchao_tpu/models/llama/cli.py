@@ -1,0 +1,190 @@
+"""Llama generate/benchmark CLI.
+
+API-parity with the reference's ``torchao/_models/llama/generate.py
+main()`` (``:258-690``): the same ``-q`` recipe strings select configs,
+tok/s + bandwidth + model-size results are printed and appended to
+``benchmark_results.txt``.
+
+Recipes (reference ``generate.py:356-690``):
+  int8wo | int8dq | int4wo-<g> | int4wo-<g>-hqq | float8wo |
+  float8dq-tensor | float8dq-row | fp6 | uintx-<n>-<g>[-hqq] |
+  embed-int8wo | codebook | autoquant[-int4|-float8|-all] |
+  8da4w-<g> | mx-fp8 | nvfp4
+GPU-tensor-core-only recipes (marlin, sparse-marlin, gemlite) raise with
+an explanation (SURVEY.md §2.7 non-goals).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def config_from_recipe(q: str):
+    """Map a ``-q`` recipe string to a config (or autoquant marker)."""
+    from torchao_tpu.quantization.granularity import PerRow, PerTensor
+    from torchao_tpu.quantization.quant_api import (
+        Float8DynamicActivationFloat8WeightConfig,
+        Float8WeightOnlyConfig,
+        FPXWeightOnlyConfig,
+        Int4WeightOnlyConfig,
+        Int8DynamicActivationInt4WeightConfig,
+        Int8DynamicActivationInt8WeightConfig,
+        Int8WeightOnlyConfig,
+        UIntXWeightOnlyConfig,
+    )
+
+    if q == "int8wo":
+        return Int8WeightOnlyConfig()
+    if q == "int8dq":
+        return Int8DynamicActivationInt8WeightConfig()
+    if q.startswith("int4wo"):
+        parts = q.split("-")
+        group = int(parts[1]) if len(parts) > 1 else 128
+        return Int4WeightOnlyConfig(
+            group_size=group, use_hqq=q.endswith("-hqq")
+        )
+    if q.startswith("8da4w"):
+        parts = q.split("-")
+        group = int(parts[1]) if len(parts) > 1 else 32
+        return Int8DynamicActivationInt4WeightConfig(group_size=group)
+    if q == "float8wo":
+        return Float8WeightOnlyConfig()
+    if q == "float8dq-tensor":
+        return Float8DynamicActivationFloat8WeightConfig(
+            granularity=PerTensor()
+        )
+    if q in ("float8dq-row", "float8dq"):
+        return Float8DynamicActivationFloat8WeightConfig(
+            granularity=PerRow()
+        )
+    if q == "fp6":
+        return FPXWeightOnlyConfig(ebits=3, mbits=2)
+    if q.startswith("uintx"):
+        parts = q.split("-")
+        nbits, group = int(parts[1]), int(parts[2])
+        return UIntXWeightOnlyConfig(
+            dtype=f"uint{nbits}", group_size=group,
+            use_hqq=q.endswith("-hqq"),
+        )
+    if q == "codebook":
+        from torchao_tpu.prototype.codebook import CodebookWeightOnlyConfig
+
+        return CodebookWeightOnlyConfig()
+    if q == "mx-fp8":
+        from torchao_tpu.prototype.mx_formats import MXFPInferenceConfig
+
+        return MXFPInferenceConfig()
+    if q == "nvfp4":
+        from torchao_tpu.prototype.mx_formats import NVFP4InferenceConfig
+
+        return NVFP4InferenceConfig()
+    if q.startswith("autoquant"):
+        return ("autoquant", q)
+    if "marlin" in q or "gemlite" in q or "sparse" in q:
+        raise ValueError(
+            f"{q!r} targets GPU tensor-core sparse/packed kernels with no "
+            "TPU analog (no sparse MXU); use int4wo-<g> for the dense "
+            "int4 path (SURVEY.md §2.7)."
+        )
+    raise ValueError(f"Unknown quantization recipe: {q!r}")
+
+
+def main(argv=None):
+    from torchao_tpu.models.llama.generate import benchmark_decode, generate
+    from torchao_tpu.models.llama.model import (
+        ModelArgs,
+        Transformer,
+        default_linear_filter,
+    )
+    from torchao_tpu.quantization.quant_api import quantize_
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", default="Llama-3-8B")
+    p.add_argument("--checkpoint_path", default=None,
+                   help=".npz from scripts/convert_hf_checkpoint.py")
+    p.add_argument("-q", "--quantization", default=None)
+    p.add_argument("--kv_cache_quantization", action="store_true")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--prompt_len", type=int, default=128)
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--num_samples", type=int, default=3)
+    p.add_argument("--embed_int8wo", action="store_true")
+    p.add_argument("--write_result", default="benchmark_results.txt")
+    p.add_argument("--block_size_cap", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    margs = ModelArgs.from_name(args.model_name)
+    margs.block_size = min(margs.block_size, args.block_size_cap)
+    model = Transformer(margs, dtype=jnp.bfloat16)
+
+    if args.checkpoint_path:
+        from scripts.convert_hf_checkpoint import load_checkpoint
+
+        params = load_checkpoint(args.checkpoint_path)
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
+
+    if args.quantization:
+        cfg = config_from_recipe(args.quantization)
+        if isinstance(cfg, tuple):  # autoquant
+            from torchao_tpu.quantization.autoquant import (
+                all_autoquant_class_list,
+                autoquant_,
+                default_autoquant_class_list,
+                default_int4_autoquant_class_list,
+                default_float_autoquant_class_list,
+            )
+
+            flavor = cfg[1]
+            lists = {
+                "autoquant": default_autoquant_class_list(),
+                "autoquant-int4": default_int4_autoquant_class_list(),
+                "autoquant-float8": default_float_autoquant_class_list(),
+                "autoquant-all": all_autoquant_class_list(),
+            }
+            params, decisions = autoquant_(
+                params, lists.get(flavor, None),
+                filter_fn=default_linear_filter,
+            )
+            print("autoquant decisions:", json.dumps(decisions, indent=1))
+        else:
+            params = quantize_(params, cfg, filter_fn=default_linear_filter)
+    if args.embed_int8wo:
+        from torchao_tpu.quantization.quant_api import Int8WeightOnlyConfig
+
+        params = quantize_(
+            params, Int8WeightOnlyConfig(),
+            filter_fn=lambda p, l: "tok_embeddings" in p,
+        )
+
+    res = benchmark_decode(
+        model, params,
+        batch_size=args.batch_size,
+        prompt_len=args.prompt_len,
+        num_tokens=args.max_new_tokens,
+        kv_cache_quantization=args.kv_cache_quantization,
+        iters=args.num_samples,
+    )
+    line = (
+        f"{time.strftime('%Y%m%d%H%M%S')}, tok/s={res['tokens_per_s']:8.2f}, "
+        f"mem/s={res['mem_bw_GBps']:8.2f} GB/s, "
+        f"model_size={res['model_size_GB']:.2f} GB, "
+        f"quant: {args.quantization}, model: {args.model_name}, "
+        f"kv_quant: {args.kv_cache_quantization}, batch: {args.batch_size}"
+    )
+    print(line)
+    if args.write_result:
+        with open(args.write_result, "a") as f:
+            f.write(line + "\n")
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -409,7 +409,7 @@ def transformer_forward(
 ):
     """Full forward. Returns (logits [B, T, V], new_cache)."""
     B, T = tokens.shape
-    x = params["tok_embeddings"]["weight"][tokens]
+    x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
 
     freqs = jax.lax.dynamic_slice_in_dim(freqs_full, input_pos, T, axis=0)
 

@@ -89,7 +89,7 @@ def moe_transformer_forward(
     mask=None,
 ):
     B, T = tokens.shape
-    x = params["tok_embeddings"]["weight"][tokens]
+    x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
     freqs = jax.lax.dynamic_slice_in_dim(freqs_full, input_pos, T, axis=0)
 
     if mask is None:
