@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    pos_ref,  # scalar prefetch: [1] int32 — last valid cache index
+    pos_ref,  # scalar prefetch: [B] int32 — last valid cache index/slot
     q_ref,    # [1, 1, G, Dh] bf16
     kq_ref,   # [1, 1, bs, Dh] int8
     ks_ref,   # [1, 1, bs, 1] bf16
@@ -46,7 +46,7 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    pos = pos_ref[0]
+    pos = pos_ref[pl.program_id(0)]
     block_start = s * bs
 
     @pl.when(block_start <= pos)
@@ -96,7 +96,7 @@ def quantized_kv_decode_attention(
     k_scale: jnp.ndarray,  # [B, Hkv, S, 1]
     v_q: jnp.ndarray,      # [B, Hkv, S, Dh] int8
     v_scale: jnp.ndarray,  # [B, Hkv, S, 1]
-    pos: jnp.ndarray,      # scalar int32: attend to cache slots <= pos
+    pos: jnp.ndarray,      # scalar or [B] int32: attend to slots <= pos[b]
     *,
     scale: Optional[float] = None,
     bs: int = 256,
@@ -135,12 +135,16 @@ def quantized_kv_decode_attention(
     kernel = functools.partial(
         _kernel, bs=bs, scale=scale, n_s_blocks=n_s
     )
-    return pl.pallas_call(
+    out_call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), jnp.float32),
         interpret=interpret,
-    )(jnp.atleast_1d(pos).astype(jnp.int32), q, k_q, k_scale, v_q, v_scale)
+    )
+    pos_vec = jnp.broadcast_to(
+        jnp.atleast_1d(pos).astype(jnp.int32), (B,)
+    )
+    return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
 
 
 def quantized_kv_decode_attention_reference(
@@ -157,7 +161,11 @@ def quantized_kv_decode_attention_reference(
     scores = jnp.einsum(
         "bhgd,bhsd->bhgs", q.astype(jnp.float32), k
     ) * scale
-    mask = jnp.arange(S)[None, None, None, :] <= pos
+    pos_vec = jnp.broadcast_to(jnp.atleast_1d(pos), (B,))
+    mask = (
+        jnp.arange(S)[None, None, None, :]
+        <= pos_vec[:, None, None, None]
+    )
     scores = jnp.where(mask, scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhgs,bhsd->bhgd", p, v)

@@ -165,14 +165,19 @@ def precompute_freqs_cis(args: ModelArgs, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def apply_rotary_emb(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, T, H, head_dim]; freqs: [T, head_dim/2, 2].
+    """x: [B, T, H, head_dim]; freqs: [T, head_dim/2, 2] (shared) or
+    [B, T, head_dim/2, 2] (per-slot positions, continuous batching).
 
     Pairs adjacent features (reference ``apply_rotary_emb``, model.py:545).
     """
     xf = x.astype(jnp.float32)
     x2 = xf.reshape(*x.shape[:-1], -1, 2)
-    cos = freqs[None, :, None, :, 0]
-    sin = freqs[None, :, None, :, 1]
+    if freqs.ndim == 4:  # per-batch positions
+        cos = freqs[:, :, None, :, 0]
+        sin = freqs[:, :, None, :, 1]
+    else:
+        cos = freqs[None, :, None, :, 0]
+        sin = freqs[None, :, None, :, 1]
     out = jnp.stack(
         [
             x2[..., 0] * cos - x2[..., 1] * sin,
@@ -234,6 +239,22 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale[..., None].astype(x.dtype)
 
 
+def _cache_write(cache_arr, new_vals, input_pos):
+    """Write [B, H, T, *] new values into [B, H, S, *] cache at
+    ``input_pos`` — a shared scalar or a per-slot [B] vector (continuous
+    batching)."""
+    new_vals = new_vals.astype(cache_arr.dtype)
+    if getattr(input_pos, "ndim", 0) == 1:
+        return jax.vmap(
+            lambda c, nv, p: jax.lax.dynamic_update_slice(
+                c, nv, (0, p, 0)
+            )
+        )(cache_arr, new_vals, input_pos)
+    return jax.lax.dynamic_update_slice(
+        cache_arr, new_vals, (0, 0, input_pos, 0)
+    )
+
+
 def _update_layer_cache(
     layer_cache: Dict[str, jnp.ndarray],
     k: jnp.ndarray,
@@ -243,31 +264,17 @@ def _update_layer_cache(
     """Write new k/v ([B, Hkv, T, Dh]) at ``input_pos`` and return the full
     (dequantized) cache plus the updated cache pytree."""
     if "k" in layer_cache:
-        k_cache = jax.lax.dynamic_update_slice(
-            layer_cache["k"], k.astype(layer_cache["k"].dtype),
-            (0, 0, input_pos, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            layer_cache["v"], v.astype(layer_cache["v"].dtype),
-            (0, 0, input_pos, 0),
-        )
+        k_cache = _cache_write(layer_cache["k"], k, input_pos)
+        v_cache = _cache_write(layer_cache["v"], v, input_pos)
         return k_cache, v_cache, {"k": k_cache, "v": v_cache}
 
     k_q, k_s = _quantize_kv(k)
     v_q, v_s = _quantize_kv(v)
     new = {
-        "k_q": jax.lax.dynamic_update_slice(
-            layer_cache["k_q"], k_q, (0, 0, input_pos, 0)
-        ),
-        "v_q": jax.lax.dynamic_update_slice(
-            layer_cache["v_q"], v_q, (0, 0, input_pos, 0)
-        ),
-        "k_scale": jax.lax.dynamic_update_slice(
-            layer_cache["k_scale"], k_s, (0, 0, input_pos, 0)
-        ),
-        "v_scale": jax.lax.dynamic_update_slice(
-            layer_cache["v_scale"], v_s, (0, 0, input_pos, 0)
-        ),
+        "k_q": _cache_write(layer_cache["k_q"], k_q, input_pos),
+        "v_q": _cache_write(layer_cache["v_q"], v_q, input_pos),
+        "k_scale": _cache_write(layer_cache["k_scale"], k_s, input_pos),
+        "v_scale": _cache_write(layer_cache["v_scale"], v_s, input_pos),
     }
     # XLA path dequantizes the whole cache (like the reference,
     # model.py:228-231); the Pallas attention kernel consumes int8 + scales
@@ -343,26 +350,26 @@ def _attention(
             k_qv, k_s = _quantize_kv(k)
             v_qv, v_s = _quantize_kv(v)
             new_cache = {
-                "k_q": jax.lax.dynamic_update_slice(
-                    layer_cache["k_q"], k_qv, (0, 0, input_pos, 0)
+                "k_q": _cache_write(layer_cache["k_q"], k_qv, input_pos),
+                "v_q": _cache_write(layer_cache["v_q"], v_qv, input_pos),
+                "k_scale": _cache_write(
+                    layer_cache["k_scale"], k_s, input_pos
                 ),
-                "v_q": jax.lax.dynamic_update_slice(
-                    layer_cache["v_q"], v_qv, (0, 0, input_pos, 0)
-                ),
-                "k_scale": jax.lax.dynamic_update_slice(
-                    layer_cache["k_scale"], k_s, (0, 0, input_pos, 0)
-                ),
-                "v_scale": jax.lax.dynamic_update_slice(
-                    layer_cache["v_scale"], v_s, (0, 0, input_pos, 0)
+                "v_scale": _cache_write(
+                    layer_cache["v_scale"], v_s, input_pos
                 ),
             }
             g = H // Hkv
             qg = q[:, :, 0, :].reshape(B, Hkv, g, Dh)
+            pos_vec = (
+                input_pos if getattr(input_pos, "ndim", 0) == 1
+                else jnp.full((B,), input_pos, jnp.int32)
+            )
             attn = quantized_kv_decode_attention(
                 qg,
                 new_cache["k_q"], new_cache["k_scale"],
                 new_cache["v_q"], new_cache["v_scale"],
-                input_pos,
+                pos_vec,
             )  # [B, Hkv, g, Dh] f32; head h = kvh*g + i matches q order
             out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
             out = ops.linear(out, _layer_weight(lw["wo"]))
@@ -380,7 +387,10 @@ def _attention(
         "bhgtd,bhsd->bhgts", qg, k_full,
         preferred_element_type=jnp.float32,
     ) / math.sqrt(Dh)
-    scores = jnp.where(mask[None, None, None, :, :], scores, -jnp.inf)
+    if mask.ndim == 3:  # per-slot mask [B, T, S]
+        scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+    else:
+        scores = jnp.where(mask[None, None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhgts,bhsd->bhgtd", probs.astype(v_full.dtype), v_full,
@@ -407,19 +417,35 @@ def transformer_forward(
     args: ModelArgs,
     mask: Optional[jnp.ndarray] = None,
 ):
-    """Full forward. Returns (logits [B, T, V], new_cache)."""
+    """Full forward. Returns (logits [B, T, V], new_cache).
+
+    ``input_pos`` may be a scalar (whole batch at one position — the
+    prefill/decode loop) or a [B] vector (per-slot positions — the
+    continuous-batching engine).
+    """
     B, T = tokens.shape
     x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
 
-    freqs = jax.lax.dynamic_slice_in_dim(freqs_full, input_pos, T, axis=0)
+    vector_pos = getattr(input_pos, "ndim", 0) == 1
+    if vector_pos:
+        # per-slot rotary table rows: [B, T, Dh/2, 2]
+        freqs = freqs_full[input_pos[:, None] + jnp.arange(T)[None, :]]
+    else:
+        freqs = jax.lax.dynamic_slice_in_dim(
+            freqs_full, input_pos, T, axis=0
+        )
 
     if mask is None:
         if cache is not None:
             S = jax.tree_util.tree_leaves(cache)[0].shape[3]
             # position t (absolute input_pos + t) attends to cache slot s
             # iff s <= input_pos + t
-            pos = input_pos + jnp.arange(T)[:, None]
-            mask = jnp.arange(S)[None, :] <= pos
+            if vector_pos:
+                pos = input_pos[:, None, None] + jnp.arange(T)[None, :, None]
+                mask = jnp.arange(S)[None, None, :] <= pos  # [B, T, S]
+            else:
+                pos = input_pos + jnp.arange(T)[:, None]
+                mask = jnp.arange(S)[None, :] <= pos
         else:
             mask = jnp.tril(jnp.ones((T, T), bool))
 

@@ -238,6 +238,24 @@ def _impl_fp8_weight(x, w: Float8Array, bias, preference):
         out = jnp.matmul(x, wd.T)
         return out + bias if bias is not None else out
 
+    # non-rowwise/tensorwise weight scales (e.g. DeepSeek 128x128
+    # blockwise) don't factor into the scaled-mm epilogue: take the
+    # quantize-act → dequant-both path (fused blockwise kernel is a
+    # planned Pallas item)
+    if w.scale.size not in (1, w.shape[0]):
+        x_q, x_scale = quantize_activation_float8(x, w.act_quant_spec)
+        from torchao_tpu.quantization.quant_primitives import (
+            dequantize_affine_float8 as _dq8,
+            _expand_scale_to_tensor_shape as _expand,
+        )
+
+        xd = (
+            x_q.astype(jnp.float32)
+            * _expand(x_scale.astype(jnp.float32), x_q.shape)
+        ).astype(x.dtype)
+        out = jnp.matmul(xd, w.dequantize(x.dtype).T)
+        return out + bias if bias is not None else out
+
     x_q, x_scale = quantize_activation_float8(x, w.act_quant_spec)
 
     if _use_pallas(preference):

@@ -104,6 +104,9 @@ def quantize_activation_float8(
     (fp8 values, fp32 scale in blocked shape)."""
     if spec.granularity == "per_tensor":
         block_size: Tuple[int, ...] = tuple(x.shape)
+    elif spec.granularity == "per_block_1x128":
+        # DeepSeek-style activation blocks (1, 128) along features
+        block_size = tuple([1] * (x.ndim - 1) + [min(128, x.shape[-1])])
     else:
         block_size = tuple([1] * (x.ndim - 1) + [x.shape[-1]])
     scale = qp.choose_scale_float8(

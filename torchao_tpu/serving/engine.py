@@ -1,0 +1,181 @@
+"""Continuous-batching serving engine (single host).
+
+A new capability beyond the reference (whose harness is bs=1 gpt-fast
+generation): fixed decode slots over one static KV cache, slot-level
+admission — a finished request's slot is refilled by prefilling the next
+queued prompt into that slot while other slots keep decoding. All device
+work is two jitted programs (slot-prefill, joint decode step) with static
+shapes: no recompiles at steady state, cache buffers donated.
+
+Multi-host: run the engine per data-parallel replica with TP-sharded
+params (``torchao_tpu.parallel``); the decode step is a single pjit
+program so XLA overlaps the TP collectives with compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchao_tpu.models.llama.model import Transformer
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: np.ndarray                 # [T] int32
+    max_new_tokens: int = 32
+    eos_id: Optional[int] = None
+    request_id: int = -1
+    # filled by the engine:
+    output: Optional[List[int]] = None
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        model: Transformer,
+        params,
+        *,
+        max_slots: int = 4,
+        max_seq_len: int = 256,
+        prefill_chunk: int = 64,
+        kv_cache_quantization: bool = False,
+        greedy: bool = True,
+    ):
+        self.model = model
+        self.params = params
+        self.B = max_slots
+        self.S = min(max_seq_len, model.args.block_size)
+        self.prefill_chunk = prefill_chunk
+        self.cache = model.setup_caches(
+            self.B, self.S, quantize=kv_cache_quantization
+        )
+        self.queue: deque[Request] = deque()
+        self.active: Dict[int, Request] = {}       # slot -> request
+        self.completed: List[Request] = []
+        self.slot_pos = np.zeros(self.B, np.int32)  # next write position
+        self.slot_remaining = np.zeros(self.B, np.int32)
+        self.slot_token = np.zeros(self.B, np.int32)
+        self._ids = itertools.count()
+        self._build_programs()
+
+    # ------------------------------------------------------------------
+    def _build_programs(self):
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_slot(params, tokens, cache, slot_pos_vec):
+            """Run a chunk of prompt tokens for ALL slots. Only the target
+            slot's lane carries real tokens; other slots process dummies
+            at their current positions — their outputs are discarded and
+            the garbage their dummies write into cache slots >= their
+            current position is always overwritten by the next real
+            decode write before it can be read (sequential positions)."""
+            logits, cache = model(params, tokens, slot_pos_vec, cache)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return nxt, cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_step(params, tokens, cache, slot_pos_vec):
+            logits, cache = model(
+                params, tokens[:, None], slot_pos_vec, cache
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return nxt, cache
+
+        self._prefill = prefill_slot
+        self._decode = decode_step
+
+    # ------------------------------------------------------------------
+    def add_request(self, req: Request) -> int:
+        req.request_id = next(self._ids)
+        req.output = []
+        self.queue.append(req)
+        return req.request_id
+
+    def _admit(self):
+        """Fill free slots from the queue by chunked prefill."""
+        for slot in range(self.B):
+            if slot in self.active or not self.queue:
+                continue
+            req = self.queue.popleft()
+            prompt = np.asarray(req.prompt, np.int32)
+            assert len(prompt) + req.max_new_tokens <= self.S, "too long"
+            # chunked prefill into this slot; other slots get dummy
+            # re-reads at their current positions — mask keeps their
+            # attention causal, and their cache rows are overwritten with
+            # identical values (positions unchanged => harmless rewrite
+            # of the same k/v)
+            # chunked prefill in pow2 buckets (bounded program count),
+            # then one exact 1-token pass over the final prompt token so
+            # logits[:, -1] is the true next-token prediction
+            pos = 0
+            chunk = self.prefill_chunk
+            while pos < len(prompt) - 1:
+                n = min(chunk, len(prompt) - 1 - pos)
+                n_pad = min(1 << (n - 1).bit_length(), chunk)
+                toks = np.zeros((self.B, n_pad), np.int32)
+                toks[slot, :n] = prompt[pos : pos + n]
+                pos_vec = self.slot_pos.copy()
+                pos_vec[slot] = pos
+                _, self.cache = self._prefill(
+                    self.params, jnp.asarray(toks), self.cache,
+                    jnp.asarray(pos_vec),
+                )
+                pos += n
+            toks = np.zeros((self.B, 1), np.int32)
+            toks[slot, 0] = prompt[-1]
+            pos_vec = self.slot_pos.copy()
+            pos_vec[slot] = len(prompt) - 1
+            nxt, self.cache = self._prefill(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.asarray(pos_vec),
+            )
+            self.slot_token[slot] = int(nxt[slot])
+            self.slot_pos[slot] = len(prompt)
+            self.slot_remaining[slot] = req.max_new_tokens
+            self.active[slot] = req
+
+    def step(self) -> Dict[int, int]:
+        """One engine iteration: admit, one joint decode step, emit.
+        Returns {request_id: token} emitted this step."""
+        self._admit()
+        if not self.active:
+            return {}
+        tokens = jnp.asarray(self.slot_token)
+        pos_vec = jnp.asarray(self.slot_pos)
+        nxt, self.cache = self._decode(
+            self.params, tokens, self.cache, pos_vec
+        )
+        nxt_np = np.asarray(nxt)
+        emitted = {}
+        for slot, req in list(self.active.items()):
+            tok = int(self.slot_token[slot])
+            # the *current* token is emitted (it was produced by the
+            # previous step/prefill); nxt becomes the next current
+            req.output.append(tok)
+            emitted[req.request_id] = tok
+            self.slot_pos[slot] += 1
+            self.slot_remaining[slot] -= 1
+            self.slot_token[slot] = int(nxt_np[slot])
+            done = self.slot_remaining[slot] <= 0 or (
+                req.eos_id is not None and tok == req.eos_id
+            )
+            if done:
+                self.completed.append(req)
+                del self.active[slot]
+        return emitted
+
+    def run_to_completion(self, max_steps: int = 10_000) -> List[Request]:
+        for _ in range(max_steps):
+            if not self.queue and not self.active:
+                break
+            self.step()
+        return self.completed
