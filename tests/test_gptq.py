@@ -67,6 +67,55 @@ def test_gptq_int4_array_integrates(calib):
     assert compute_error(ref, out) > 12
 
 
+def test_gptq_generalizes_heldout(calib):
+    """GPTQ must beat RTN on FRESH samples from the (correlated)
+    calibration distribution — the property that transfers to real
+    models. (On iid-gaussian activations H≈σ²I and GPTQ can only overfit
+    sampling noise; that degenerate case is expected to lose.)"""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    N, K, g = 64, 128, 32
+    W = jnp.asarray(rs.randn(N, K), jnp.float32)
+    A = rs.randn(K, K) * 0.5 + np.eye(K)
+    Xc = jnp.asarray(rs.randn(512, K) @ A, jnp.float32)
+    Xt = jnp.asarray(rs.randn(256, K) @ A, jnp.float32)
+    H = accumulate_hessian(None, Xc)
+    Q, s, z = gptq_quantize_weight(W, H, GPTQQuantSpec(group_size=g))
+    dq = (
+        (Q.reshape(N, -1, g) - 8.0) * s[..., None] + z[..., None]
+    ).reshape(N, K)
+    rtn = quantize_({"w": W}, Int4WeightOnlyConfig(group_size=g))[
+        "w"
+    ].dequantize(jnp.float32)
+    ref = Xt @ W.T
+    eg = float(jnp.mean((Xt @ dq.T - ref) ** 2))
+    er = float(jnp.mean((Xt @ rtn.T - ref) ** 2))
+    assert eg < er * 0.8, (eg, er)
+
+
+def test_gptq_llama_end_to_end():
+    """Sequential GPTQ over the tiny Llama: runs, restacks, and the
+    quantized model stays functional."""
+    from torchao_tpu.models.llama.model import Transformer
+    from torchao_tpu.quantization.gptq_llama import gptq_quantize_llama
+    from torchao_tpu.qtypes import IntxArray
+    import numpy as np
+
+    model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    calib = jnp.asarray(rs.randint(0, 512, (4, 32)), jnp.int32)
+    test_toks = jnp.asarray(rs.randint(0, 512, (2, 16)), jnp.int32)
+
+    ref, _ = model(params, test_toks)
+    gptq = gptq_quantize_llama(model, params, calib, group_size=32)
+    assert isinstance(gptq["layers"]["attention"]["wqkv"], IntxArray)
+    assert gptq["layers"]["attention"]["wqkv"].qdata.ndim == 3  # stacked
+    out, _ = model(gptq, test_toks)
+    assert compute_error(ref, out) > 8
+
+
 def test_gptq_quant_values_in_range(calib):
     W, _, H = calib
     Q, s, z = gptq_quantize_weight(W, H, GPTQQuantSpec(group_size=32))

@@ -277,3 +277,58 @@ class TestShardability:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=1e-2, atol=1e-2,
         )
+
+
+class TestNF4:
+    def test_roundtrip_and_linear(self):
+        from torchao_tpu.qtypes import NF4Array, linear_nf4, to_nf4
+
+        rs = np.random.RandomState(0)
+        w = jnp.asarray(rs.randn(64, 128), jnp.bfloat16)
+        nf4 = to_nf4(w, block_size=64, scaler_block_size=64)
+        dq = nf4.dequantize(jnp.float32)
+        assert dq.shape == (64, 128)
+        err = compute_error(w.astype(jnp.float32), dq)
+        assert err > 12, err  # ~4-bit fidelity
+
+        x = jnp.asarray(rs.randn(4, 128), jnp.bfloat16)
+        out = linear_nf4(x, nf4)
+        ref = jnp.matmul(x, w.T)
+        assert compute_error(ref, out) > 10
+
+        # double-quantized scaler storage really is int8
+        assert nf4.quantized_scalers.dtype == jnp.int8
+        # memory: codes are 2/byte
+        assert nf4.qdata.size == w.size // 2
+
+    def test_nf4_dispatch_fallback(self):
+        """ops.linear uses the generic dequant fallback for NF4."""
+        from torchao_tpu import ops
+        from torchao_tpu.qtypes import to_nf4
+
+        rs = np.random.RandomState(1)
+        w = jnp.asarray(rs.randn(32, 64), jnp.bfloat16)
+        nf4 = to_nf4(w, block_size=32, scaler_block_size=32)
+        x = jnp.asarray(rs.randn(2, 64), jnp.bfloat16)
+        out = ops.linear(x, nf4)
+        assert compute_error(jnp.matmul(x, w.T), out) > 10
+
+
+class TestBitShards:
+    @pytest.mark.parametrize("nbits", [2, 3, 5, 6, 7])
+    def test_sub_byte_storage_and_fidelity(self, nbits):
+        from torchao_tpu.qtypes.base import PackingFormat as PF
+
+        w = _w((32, 64), seed=nbits, dtype=jnp.bfloat16)
+        qw = quantize_(
+            {"w": w}, UIntXWeightOnlyConfig(dtype=f"uint{nbits}", group_size=32)
+        )["w"]
+        assert qw.packing_format is PF.BIT_SHARDS
+        # true sub-byte storage: nbits/8 bytes per element
+        assert qw.qdata.size == 32 * 64 * nbits // 8
+        x = _w((4, 64), seed=20, dtype=jnp.bfloat16)
+        ref = jnp.matmul(x, w.T)
+        out = ops.linear(x, qw)
+        # fidelity scales with bits; 2-bit is crude
+        bound = {2: 3, 3: 8, 5: 18, 6: 24, 7: 30}[nbits]
+        assert compute_error(ref, out) > bound

@@ -32,12 +32,14 @@ def _register_default_classes():
     from torchao_tpu.qtypes.float8 import Float8ActQuantSpec, Float8Array
     from torchao_tpu.qtypes.floatx import FloatxArray
     from torchao_tpu.qtypes.intx import IntxArray
+    from torchao_tpu.qtypes.nf4 import NF4Array
     from torchao_tpu.quantization.quant_primitives import ZeroPointDomain
 
     for cls in (
         IntxArray,
         Float8Array,
         FloatxArray,
+        NF4Array,
         LinearActivationQuantizedArray,
         WeightTensorWithLinearActivationScaleMetadata,
     ):

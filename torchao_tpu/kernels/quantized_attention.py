@@ -99,7 +99,7 @@ def quantized_kv_decode_attention(
     pos: jnp.ndarray,      # scalar or [B] int32: attend to slots <= pos[b]
     *,
     scale: Optional[float] = None,
-    bs: int = 256,
+    bs: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, Hkv, G, Dh] f32 attention output."""

@@ -131,7 +131,22 @@ def main(argv=None):
     else:
         params = model.init_params(jax.random.PRNGKey(0))
 
-    if args.quantization:
+    if args.quantization and args.quantization.startswith("int4wo-gptq"):
+        # int4wo-gptq[-<g>]: sequential GPTQ calibration (random tokens
+        # unless --calib_tokens provides a .npy stream)
+        from torchao_tpu.quantization.gptq_llama import gptq_quantize_llama
+        import numpy as np
+
+        parts = args.quantization.split("-")
+        g = int(parts[2]) if len(parts) > 2 else 64
+        calib = jnp.asarray(
+            np.random.RandomState(0).randint(
+                0, margs.vocab_size, (4, 512)
+            ),
+            jnp.int32,
+        )
+        params = gptq_quantize_llama(model, params, calib, group_size=g)
+    elif args.quantization:
         cfg = config_from_recipe(args.quantization)
         if isinstance(cfg, tuple):  # autoquant
             from torchao_tpu.quantization.autoquant import (

@@ -103,6 +103,13 @@ def _int8_per_token_sym(x: jnp.ndarray):
     return qp.quantize_activation_per_token_absmax(x)
 
 
+@register_act_quant("int8_per_token_sym_noop_decode")
+def _int8_per_token_sym_noop_decode(x: jnp.ndarray):
+    """Prefill path of weight_only_decode: same reduced-range sym quant
+    (the decode-time noop is handled in the dispatch impl)."""
+    return qp.quantize_activation_per_token_absmax(x)
+
+
 @register_act_quant("int8_per_token_asym")
 def _int8_per_token_asym(x: jnp.ndarray):
     """Per-token asymmetric int8 (reference ``_int8_asymm_per_token_quant``
@@ -183,7 +190,8 @@ def _impl_int4_weight_only(x, w: IntxArray, bias, preference):
 def _check_int8_dyn_act_int8_weight(x, w, bias):
     return (
         isinstance(w, LinearActivationQuantizedArray)
-        and w.input_quant_name == "int8_per_token_sym"
+        and w.input_quant_name
+        in ("int8_per_token_sym", "int8_per_token_sym_noop_decode")
         and isinstance(w.original_weight, IntxArray)
         and w.original_weight.target_dtype == "int8"
     )
@@ -197,6 +205,17 @@ def _impl_int8_dyn_act_int8_weight(x, w, bias, preference):
     ``lax.dot_general(..., preferred_element_type=int32)`` standing in for
     ``safe_int_mm`` (SURVEY.md §2.7)."""
     inner: IntxArray = w.original_weight
+    if (
+        w.input_quant_name.endswith("_noop_decode")
+        and x.ndim >= 2 and x.shape[-2] == 1
+    ):
+        # weight_only_decode: hp activation x cast-dequant weight (the
+        # int8wo hot path) during single-token decode
+        w_cast = inner.qdata.reshape(inner.shape).T.astype(x.dtype)
+        out = jnp.matmul(x, w_cast)
+        scale = inner.scale.reshape(-1)
+        out = out * scale.astype(out.dtype)
+        return out + bias if bias is not None else out
     x_q, x_scale = w.quantize_input(x)
 
     if _use_pallas(preference):

@@ -21,3 +21,4 @@ from torchao_tpu.qtypes.packing import (  # noqa: F401
     unpack_int4,
     unpack_uintx,
 )
+from torchao_tpu.qtypes.nf4 import NF4Array, linear_nf4, to_nf4  # noqa: F401

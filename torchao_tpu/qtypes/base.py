@@ -38,6 +38,10 @@ class PackingFormat(str, enum.Enum):
 
     PLAIN = "plain"
     TILED_NIBBLES = "tiled_nibbles"
+    # uint1-7 power-of-2 bit shards packed densely and concatenated into
+    # one flat uint8 buffer (the reference's uintx bit-packed layout,
+    # ``uintx/bitpacking.py``) — true sub-byte storage for odd widths
+    BIT_SHARDS = "bit_shards"
 
 
 class KernelPreference(str, enum.Enum):

@@ -37,6 +37,10 @@ from torchao_tpu.quantization.quant_primitives import (
 )
 
 
+def _nbits_of(target_dtype: str) -> int:
+    return int(target_dtype.lstrip("uint").lstrip("int") or 8)
+
+
 @qarray_dataclass
 class IntxArray(QuantizedArray):
     qdata: jnp.ndarray
@@ -156,6 +160,18 @@ class IntxArray(QuantizedArray):
                     zero_point = zero_point[..., None]
                 zero_point = jnp.swapaxes(zero_point, -1, -2)
 
+        if packing_format is PackingFormat.BIT_SHARDS:
+            from torchao_tpu.qtypes.packing import pack_uintx
+
+            nbits = _nbits_of(target_dtype)
+            assert 1 <= nbits <= 7, target_dtype
+            if quant_min != 0:
+                qdata = (qdata.astype(jnp.int32) - quant_min)
+            shards = pack_uintx(qdata.astype(jnp.uint8), nbits, axis=-1)
+            qdata = jnp.concatenate(
+                [s.reshape(-1) for s in shards]
+            )
+
         return cls(
             qdata=qdata,
             scale=scale,
@@ -176,6 +192,28 @@ class IntxArray(QuantizedArray):
         range, stored as int8/uint8, logical [..., N, K] orientation."""
         if self.packing_format is PackingFormat.PLAIN:
             return self.qdata
+        if self.packing_format is PackingFormat.BIT_SHARDS:
+            from torchao_tpu.qtypes.packing import _SHARDS, unpack_uintx
+
+            nbits = _nbits_of(self.target_dtype)
+            shape = tuple(self.logical_shape)
+            n_last = shape[-1]
+            lead = 1
+            for d in shape[:-1]:
+                lead *= d
+            shards, off = [], 0
+            for bits in _SHARDS[nbits]:
+                count = lead * (n_last * bits // 8)
+                shards.append(
+                    self.qdata[off : off + count].reshape(
+                        shape[:-1] + (n_last * bits // 8,)
+                    )
+                )
+                off += count
+            q = unpack_uintx(shards, nbits, n_last, axis=-1)
+            if self.quant_min != 0:
+                q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)
+            return q
         q = unpack_int4(jnp.swapaxes(self.qdata, -1, -2), axis=-1)
         if self.quant_min != 0:
             q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)

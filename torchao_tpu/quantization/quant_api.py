@@ -320,6 +320,10 @@ def _int8_dyn_act_int8_weight_transform(
         if config.act_mapping_type is MappingType.SYMMETRIC
         else "int8_per_token_asym"
     )
+    if config.weight_only_decode:
+        # reference `_..._noop_decode` (quant_api.py:1276-1296): decode
+        # (seq len 1) skips activation quantization entirely
+        act = act + "_noop_decode"
     return LinearActivationQuantizedArray(
         original_weight=inner, input_quant_name=act
     )
@@ -401,6 +405,7 @@ def _uintx_weight_only_transform(w: jnp.ndarray, config: UIntXWeightOnlyConfig):
         )
     return IntxArray.from_hp(
         w, MappingType.ASYMMETRIC, block_size, config.dtype,
+        packing_format=PackingFormat.BIT_SHARDS,
     )
 
 
