@@ -191,3 +191,49 @@ class TestDispatchIntegration:
         x = jnp.asarray(rs.randn(4, 96), jnp.bfloat16)
         qw = quantize_({"w": w}, Int4WeightOnlyConfig(group_size=32))["w"]
         assert m.int4_dq_matmul_available(x, qw) is None
+
+
+class TestAutotune:
+    def test_cache_roundtrip(self, tmp_path, monkeypatch):
+        import os
+        from torchao_tpu.kernels import autotune as at
+
+        monkeypatch.setenv(
+            "TORCHAO_TPU_AUTOTUNE_CACHE", str(tmp_path / "cache.json")
+        )
+        monkeypatch.setenv("TORCHAO_TPU_AUTOTUNE", "1")
+        at._cache = None  # reset module cache
+
+        calls = []
+
+        def run(cfg):
+            calls.append(cfg)
+            # pretend bigger bn is faster by sleeping less
+            import time
+
+            time.sleep(0.001 if cfg["bn"] == 512 else 0.003)
+            return jnp.zeros((2, 2))
+
+        cands = [{"bn": 256}, {"bn": 512}]
+        best = at.lookup_or_tune("k", (8, 128, 128, 32), cands, run, iters=2)
+        assert best == {"bn": 512}
+        n_calls = len(calls)
+
+        # second lookup hits the JSON cache — no timing calls
+        at._cache = None
+        best2 = at.lookup_or_tune("k", (8, 128, 128, 32), cands, run, iters=2)
+        assert best2 == {"bn": 512}
+        assert len(calls) == n_calls
+
+    def test_disabled_returns_none(self, tmp_path, monkeypatch):
+        from torchao_tpu.kernels import autotune as at
+
+        monkeypatch.setenv(
+            "TORCHAO_TPU_AUTOTUNE_CACHE", str(tmp_path / "c2.json")
+        )
+        monkeypatch.delenv("TORCHAO_TPU_AUTOTUNE", raising=False)
+        at._cache = None
+        out = at.lookup_or_tune(
+            "k", (1, 2), [{"bn": 1}], lambda c: jnp.zeros(1)
+        )
+        assert out is None

@@ -154,3 +154,79 @@ class TestObserver:
         )
         dq = qp.dequantize_affine(q, (1, 64), scale, zp)
         assert compute_error(data, dq) > 30
+
+
+class TestMSEObserver:
+    def test_mse_beats_minmax_at_int4(self):
+        """MSE-clipped qparams beat raw min/max at low bit width on
+        outlier-heavy data (at int8 the 256 levels make min/max near
+        optimal — the win appears at int4)."""
+        from torchao_tpu.quantization import quant_primitives as qp
+        from torchao_tpu.quantization.observer import (
+            MSEObserverState,
+            mse_calculate_qparams,
+            mse_update,
+        )
+
+        cfg = ObserverConfig(
+            mapping_type=MappingType.SYMMETRIC,
+            target_dtype="int4",
+            granularity=None,
+        )
+        rs = np.random.RandomState(0)
+        data = np.concatenate(
+            [rs.randn(4000), rs.randn(96) * 8]
+        ).astype(np.float32)
+        x = jnp.asarray(data)
+
+        mm = MinMaxObserverState()
+        mm = minmax_update(mm, x, cfg)
+        s_mm, z_mm = minmax_calculate_qparams(mm, cfg)
+
+        ms = MSEObserverState(steps=30)
+        ms = mse_update(ms, x, cfg)
+        s_ms, z_ms = mse_calculate_qparams(ms, cfg)
+
+        def mse_of(s, z):
+            q = qp.quantize_affine(
+                x, (x.size,), s, z.astype(jnp.int32), "int4"
+            )
+            dq = qp.dequantize_affine(q, (x.size,), s, z)
+            return float(jnp.mean((dq - x) ** 2))
+
+        assert mse_of(s_ms, z_ms) < mse_of(s_mm, z_mm) * 0.8
+
+
+class TestEmbeddingQAT:
+    def test_fake_quant_embedding_gradients(self):
+        from torchao_tpu import ops
+        from torchao_tpu.quantization.qat import (
+            IntxFakeQuantizeConfig,
+            QATConfig,
+        )
+        from torchao_tpu.quantization.quant_api import quantize_
+
+        table = jnp.asarray(
+            np.random.RandomState(0).randn(64, 16), jnp.float32
+        )
+        prepared = quantize_(
+            {"emb": table},
+            QATConfig(
+                weight_config=IntxFakeQuantizeConfig(dtype="int4",
+                                                     group_size=16),
+                step="prepare",
+            ),
+            filter_fn=lambda p, l: True,
+        )
+        ids = jnp.asarray([1, 5, 9], jnp.int32)
+
+        def loss(p):
+            return jnp.sum(ops.embedding(p["emb"], ids) ** 2)
+
+        out = ops.embedding(prepared["emb"], ids)
+        assert out.shape == (3, 16)
+        g = jax.grad(loss)(prepared)["emb"].weight
+        # only looked-up rows get gradient
+        gn = np.linalg.norm(np.asarray(g), axis=1)
+        assert (gn[np.asarray(ids)] > 0).all()
+        assert gn[0] == 0

@@ -82,6 +82,27 @@ def test_staggered_admission(setup):
     np.testing.assert_array_equal(np.asarray(by_id[id2].output), r2)
 
 
+def test_chunked_device_decode_matches(setup):
+    """step_n (device-side multi-step decode) must emit exactly the same
+    tokens as host-stepped decoding."""
+    model, params = setup
+    rs = np.random.RandomState(4)
+    prompts = [rs.randint(0, 512, L).astype(np.int32) for L in (6, 9, 4)]
+    refs = [_reference_greedy(model, params, p, 10) for p in prompts]
+
+    eng = ServingEngine(model, params, max_slots=2, max_seq_len=32)
+    for p in prompts:
+        eng.add_request(Request(prompt=p, max_new_tokens=10))
+    done = eng.run_to_completion(chunk=4)
+    assert len(done) == 3
+    by_id = {r.request_id: r for r in done}
+    for i, ref in enumerate(refs):
+        np.testing.assert_array_equal(
+            np.asarray(by_id[i].output), ref,
+            err_msg=f"chunked request {i} diverged",
+        )
+
+
 def test_quantized_engine_runs(setup):
     model, params = setup
     qparams = quantize_(

@@ -37,3 +37,6 @@ from torchao_tpu.quantization.quant_api import (  # noqa: F401
     ModuleFqnToConfig,
     quantize_,
 )
+
+from torchao_tpu.quantization.autoquant import autoquant, autoquant_  # noqa: F401,E402
+from torchao_tpu import ops  # noqa: F401,E402

@@ -1,0 +1,112 @@
+"""Kernel block-size autotuner with a persisted JSON config cache.
+
+Parity with the reference's Triton autotuner (``torchao/kernel/
+autotuner.py:106-140`` + cached configs under ``kernel/configs/``):
+candidate block configurations are timed on the live device (value-fetch
+synced — see PERF.md), the argmin is memoized in a JSON file keyed by
+(kernel, shape signature, device), and later calls reuse it with zero
+timing cost.
+
+Enabled with ``TORCHAO_TPU_AUTOTUNE=1`` (compiles are minutes over this
+environment's remote-compile tunnel, so autotuning is opt-in like the
+reference's ``TORCHAO_AUTOTUNER_ENABLE``); otherwise the kernels' static
+heuristics apply, and a pre-populated cache is honored either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "configs",
+    "autotune_cache.json",
+)
+
+_cache: Optional[Dict[str, Any]] = None
+
+
+def _cache_path() -> str:
+    return os.environ.get("TORCHAO_TPU_AUTOTUNE_CACHE", DEFAULT_CACHE)
+
+
+def _load_cache() -> Dict[str, Any]:
+    global _cache
+    if _cache is None:
+        try:
+            with open(_cache_path()) as f:
+                _cache = json.load(f)
+        except (OSError, ValueError):
+            _cache = {}
+    return _cache
+
+
+def _save_cache():
+    path = _cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(_cache, f, indent=1, sort_keys=True)
+
+
+def autotune_enabled() -> bool:
+    return os.environ.get("TORCHAO_TPU_AUTOTUNE") == "1"
+
+
+def _key(kernel_name: str, shape_sig: Sequence) -> str:
+    dev = jax.default_backend()
+    return f"{kernel_name}|{dev}|{','.join(map(str, shape_sig))}"
+
+
+def _time_call(fn: Callable, iters: int = 5) -> float:
+    out = fn()
+    float(jnp.ravel(out)[0])  # sync via value fetch (PERF.md)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    float(jnp.ravel(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def lookup_or_tune(
+    kernel_name: str,
+    shape_sig: Sequence,
+    candidates: List[Dict[str, Any]],
+    run: Callable[[Dict[str, Any]], Any],
+    iters: int = 5,
+) -> Optional[Dict[str, Any]]:
+    """Returns the cached/tuned best candidate kwargs, or None when no
+    cache entry exists and tuning is disabled (caller uses heuristics)."""
+    cache = _load_cache()
+    key = _key(kernel_name, shape_sig)
+    if key in cache:
+        return cache[key]["config"]
+    if not autotune_enabled():
+        return None
+
+    best_cfg, best_t = None, None
+    for cfg in candidates:
+        try:
+            t = _time_call(lambda: run(cfg), iters)
+        except Exception:
+            continue
+        if best_t is None or t < best_t:
+            best_cfg, best_t = cfg, t
+    if best_cfg is not None:
+        cache[key] = {"config": best_cfg, "time_us": best_t * 1e6}
+        _save_cache()
+    return best_cfg
+
+
+def int4_matmul_candidates(M: int, N: int, K: int, g: int):
+    """Candidate (bm, bn, bkp) blocks for the int4 dequant-matmul."""
+    out = []
+    for bn in (256, 512, 1024):
+        for bkp in (256, 512, 1024):
+            if bkp % g == 0 or g >= bkp:
+                out.append({"bn": min(bn, N), "bkp": bkp})
+    return out

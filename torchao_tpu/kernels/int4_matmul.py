@@ -51,24 +51,35 @@ def _kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # VPU-minimized dequant: dq = (q − mid)·s + z = q·s + z′ with
+    # z′ = z − mid·s precomputed by the wrapper, and the Σ_k x_k·z′[k//g,n]
+    # term moved to the MXU via per-group activation sums (t = x @ E with
+    # E the group-indicator matrix) — per weight element only unpack,
+    # convert and one multiply remain on the VPU.
+    bkp = wp_ref.shape[0]
+    bg = s_lo_ref.shape[0]
     wp = wp_ref[:].astype(jnp.int32)
     lo = (wp & 0xF).astype(jnp.bfloat16)
-    hi = ((wp >> 4) & 0xF).astype(jnp.bfloat16)
+    hi = (wp >> 4).astype(jnp.bfloat16)  # u8 source → already in 0..15
 
-    def dequant(q, s_ref, z_ref):
-        # per-group expansion along sublanes (interleave semantics)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 1)
+    E = (row // group_size == col).astype(jnp.bfloat16)
+
+    def half(x_ref, q, s_ref, z2_ref):
         s = jnp.repeat(s_ref[:], group_size, axis=0)
-        z = jnp.repeat(z_ref[:], group_size, axis=0)
-        return (q - mid) * s + z
+        x = x_ref[:]
+        acc_ref[:] += jnp.dot(
+            x, q * s, preferred_element_type=jnp.float32
+        )
+        t = jnp.dot(x, E, preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(
+            t.astype(jnp.bfloat16), z2_ref[:],
+            preferred_element_type=jnp.float32,
+        )
 
-    acc_ref[:] += jnp.dot(
-        x_lo_ref[:], dequant(lo, s_lo_ref, z_lo_ref),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] += jnp.dot(
-        x_hi_ref[:], dequant(hi, s_hi_ref, z_hi_ref),
-        preferred_element_type=jnp.float32,
-    )
+    half(x_lo_ref, lo, s_lo_ref, z_lo_ref)
+    half(x_hi_ref, hi, s_hi_ref, z_hi_ref)
 
     @pl.when(k == n_k_blocks - 1)
     def _():
@@ -142,11 +153,13 @@ def int4_dq_matmul(
             bytes_accessed=Kp * N + scale.size * 4 + M * K * 4,
             transcendentals=0,
         ),
-    )(
-        x, x, wp,
-        scale.astype(jnp.bfloat16), scale.astype(jnp.bfloat16),
-        zero.astype(jnp.bfloat16), zero.astype(jnp.bfloat16),
     )
+    s_b = scale.astype(jnp.bfloat16)
+    # pre-biased zeros: z′ = z − mid·s (see kernel docstring)
+    z2 = (
+        zero.astype(jnp.float32) - mid * scale.astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    out = out(x, x, wp, s_b, s_b, z2, z2)
     return out
 
 
@@ -193,9 +206,26 @@ def int4_dq_matmul_available(x, w):
 
     def impl(x, w):
         xb = x.reshape(-1, K)
+        kw = {}
+        from torchao_tpu.kernels.autotune import (
+            int4_matmul_candidates,
+            lookup_or_tune,
+        )
+
+        tuned = lookup_or_tune(
+            "int4_dq_matmul",
+            (xb.shape[0], N, K, group_size),
+            int4_matmul_candidates(xb.shape[0], N, K, group_size),
+            lambda cfg: int4_dq_matmul(
+                xb, w.qdata, w.scale, w.zero_point,
+                group_size=group_size, mid=mid, **cfg,
+            ),
+        )
+        if tuned:
+            kw = tuned
         out = int4_dq_matmul(
             xb, w.qdata, w.scale, w.zero_point,
-            group_size=group_size, mid=mid,
+            group_size=group_size, mid=mid, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))
 

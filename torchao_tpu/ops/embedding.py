@@ -19,6 +19,12 @@ def embedding(weight, ids: jnp.ndarray) -> jnp.ndarray:
     """``weight[ids]`` for plain or quantized embedding tables."""
     if not isinstance(weight, QuantizedArray):
         return weight[ids]
+    from torchao_tpu.quantization.qat.api import QATFakeQuantizedArray
+
+    if isinstance(weight, QATFakeQuantizedArray):
+        # embedding QAT (reference qat/embedding.py): fake-quantize the
+        # table, gather rows — STE gradients flow into the hp table
+        return weight.fake_quantized_weight()[ids]
     if isinstance(weight, IntxArray) and weight.qdata.ndim == 2:
         from torchao_tpu.qtypes.base import PackingFormat
 

@@ -93,6 +93,77 @@ def minmax_calculate_qparams(
 
 
 @dataclasses.dataclass
+class MSEObserverState:
+    """Grid-searches a clipping ratio minimizing quant-dequant MSE
+    (reference ``AffineQuantizedMSEObserver:248``)."""
+
+    min_val: Optional[jnp.ndarray] = None
+    max_val: Optional[jnp.ndarray] = None
+    steps: int = 20
+
+
+def mse_update(
+    state: MSEObserverState, x: jnp.ndarray, config: ObserverConfig
+) -> MSEObserverState:
+    """Per-batch: search clip ∈ (0, 1] minimizing per-block MSE of the
+    clipped quant-dequant; keep the running min/max of the best clips."""
+    from torchao_tpu.quantization import quant_primitives as qp
+
+    block_size = _block_size(config, x.shape)
+    shape_for_reduction, reduction_dims = get_reduction_params(
+        block_size, x.shape
+    )
+    xr = x.reshape(shape_for_reduction)
+    rd = tuple(reduction_dims)
+    mn0 = jnp.min(xr, axis=rd)
+    mx0 = jnp.max(xr, axis=rd)
+    qmin, qmax = qmin_qmax(
+        config.target_dtype, config.quant_min, config.quant_max
+    )
+
+    best_mse = None
+    best = (mn0, mx0)
+    for i in range(state.steps):
+        # geometric clip sweep 1.0 → 0.01 (outliers can be 100× the bulk)
+        r = 0.01 ** (i / max(state.steps - 1, 1))
+        mn, mx = mn0 * r, mx0 * r
+        scale, zp = qp.choose_qparams_affine_with_min_max(
+            mn, mx, config.mapping_type, (), config.target_dtype,
+            config.quant_min, config.quant_max, config.eps,
+        )
+        se = scale
+        for d in sorted(rd):
+            se = jnp.expand_dims(se, d)
+        ze = zp
+        for d in sorted(rd):
+            ze = jnp.expand_dims(ze, d)
+        q = jnp.clip(jnp.round(xr / se) + ze, qmin, qmax)
+        dq = (q - ze) * se
+        mse = jnp.mean((dq - xr) ** 2, axis=rd)
+        if best_mse is None:
+            best_mse, best = mse, (mn, mx)
+        else:
+            take = mse < best_mse
+            best_mse = jnp.where(take, mse, best_mse)
+            best = (
+                jnp.where(take, mn, best[0]),
+                jnp.where(take, mx, best[1]),
+            )
+
+    mn_b, mx_b = best
+    if state.min_val is None:
+        return MSEObserverState(mn_b, mx_b, state.steps)
+    return MSEObserverState(
+        jnp.minimum(state.min_val, mn_b),
+        jnp.maximum(state.max_val, mx_b),
+        state.steps,
+    )
+
+
+mse_calculate_qparams = minmax_calculate_qparams
+
+
+@dataclasses.dataclass
 class MovingAvgObserverState:
     min_val: Optional[jnp.ndarray] = None
     max_val: Optional[jnp.ndarray] = None

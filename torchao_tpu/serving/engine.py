@@ -90,8 +90,28 @@ class ServingEngine:
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return nxt, cache
 
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), static_argnums=(4,)
+        )
+        def decode_n_steps(params, tokens, cache, slot_pos_vec, n):
+            """n greedy steps for ALL slots device-side (one dispatch
+            emits n tokens per slot — finished slots produce ignored
+            overshoot, trimmed by the host)."""
+
+            def step(carry, _):
+                tok, cache, pos = carry
+                logits, cache = model(params, tok[:, None], pos, cache)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (nxt, cache, pos + 1), nxt
+
+            (tok, cache, _), toks = jax.lax.scan(
+                step, (tokens, cache, slot_pos_vec), None, length=n
+            )
+            return toks.swapaxes(0, 1), cache  # [B, n]
+
         self._prefill = prefill_slot
         self._decode = decode_step
+        self._decode_n = decode_n_steps
 
     # ------------------------------------------------------------------
     def add_request(self, req: Request) -> int:
@@ -173,9 +193,65 @@ class ServingEngine:
                 del self.active[slot]
         return emitted
 
-    def run_to_completion(self, max_steps: int = 10_000) -> List[Request]:
+    def step_n(self, n: int = 8) -> Dict[int, List[int]]:
+        """Admit, then decode up to ``n`` tokens per slot in ONE device
+        dispatch (device-side scan). Slots that hit their budget or EOS
+        mid-chunk keep decoding on device; the host trims the overshoot.
+        Returns {request_id: [tokens]} emitted this call."""
+        self._admit()
+        if not self.active:
+            return {}
+        n_eff = min(
+            n,
+            min(
+                int(self.slot_remaining[s]) for s in self.active
+            ),
+            int(self.S - 1 - max(self.slot_pos[s] for s in self.active)),
+        )
+        if n_eff < 1:
+            self.step()
+            return {}
+        toks, self.cache = self._decode_n(
+            self.params,
+            jnp.asarray(self.slot_token),
+            self.cache,
+            jnp.asarray(self.slot_pos),
+            n_eff,
+        )
+        toks_np = np.asarray(toks)
+        emitted: Dict[int, List[int]] = {}
+        for slot, req in list(self.active.items()):
+            seq = [int(self.slot_token[slot])] + [
+                int(t) for t in toks_np[slot, : n_eff - 1]
+            ]
+            if req.eos_id is not None and req.eos_id in seq:
+                seq = seq[: seq.index(req.eos_id) + 1]
+            take = min(len(seq), int(self.slot_remaining[slot]))
+            seq = seq[:take]
+            req.output.extend(seq)
+            emitted[req.request_id] = seq
+            self.slot_pos[slot] += len(seq)
+            self.slot_remaining[slot] -= len(seq)
+            self.slot_token[slot] = int(toks_np[slot, len(seq) - 1])
+            done = self.slot_remaining[slot] <= 0 or (
+                req.eos_id is not None and seq and seq[-1] == req.eos_id
+            )
+            if done:
+                self.completed.append(req)
+                del self.active[slot]
+        return emitted
+
+    def run_to_completion(
+        self, max_steps: int = 10_000, chunk: int = 0
+    ) -> List[Request]:
+        """``chunk=0``: host-stepped (exact per-token control).
+        ``chunk=n``: device-side n-step decode chunks (fewer dispatches;
+        EOS honored with on-host trim)."""
         for _ in range(max_steps):
             if not self.queue and not self.active:
                 break
-            self.step()
+            if chunk > 1:
+                self.step_n(chunk)
+            else:
+                self.step()
         return self.completed
