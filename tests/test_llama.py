@@ -149,25 +149,26 @@ class TestQuantizedModel:
     def test_pallas_attention_path_matches_xla(
         self, model_and_params, monkeypatch
     ):
-        """Force the Pallas quantized-KV decode path (interpret mode on
-        CPU) and compare against the XLA dequant-whole-cache path."""
+        """Force the Pallas quantized-KV path (interpret mode on CPU) for
+        BOTH prefill (T>1, causal) and decode, and compare against the XLA
+        dequant-whole-cache path."""
         import torchao_tpu.models.llama.model as M
 
         model, params = model_and_params
         toks = jnp.asarray(
             np.random.RandomState(7).randint(0, 512, (2, 6)), jnp.int32
         )
-        # prefill with quantized cache via XLA path
-        qcache = model.setup_caches(2, 8, quantize=True)
-        l0, qcache = model(params, toks, 0, qcache)
-
-        # decode one token both ways from identical cache state
-        nxt = jnp.argmax(l0[:, -1], -1).astype(jnp.int32)[:, None]
 
         monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: False)
-        ref_logits, _ = model(params, nxt, 6, qcache)
+        qc_ref = model.setup_caches(2, 8, quantize=True)
+        l_ref, qc_ref = model(params, toks, 0, qc_ref)
+        nxt = jnp.argmax(l_ref[:, -1], -1).astype(jnp.int32)[:, None]
+        d_ref, _ = model(params, nxt, 6, qc_ref)
 
         monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: True)
-        ker_logits, _ = model(params, nxt, 6, qcache)
+        qc_ker = model.setup_caches(2, 8, quantize=True)
+        l_ker, qc_ker = model(params, toks, 0, qc_ker)  # prefill via kernel
+        d_ker, _ = model(params, nxt, 6, qc_ker)        # decode via kernel
 
-        assert compute_error(ref_logits, ker_logits) > 30
+        assert compute_error(l_ref, l_ker) > 30, "prefill path diverged"
+        assert compute_error(d_ref, d_ker) > 30, "decode path diverged"

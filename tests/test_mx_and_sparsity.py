@@ -121,3 +121,66 @@ class TestSparsity:
         np.testing.assert_array_equal(
             np.asarray(mask).reshape(16, 16, 4).sum(-1), 2
         )
+
+
+class TestSupermask:
+    def test_mask_and_ste(self):
+        from torchao_tpu import ops
+        from torchao_tpu.sparsity.supermask import (
+            SupermaskWeight,
+            to_supermask,
+        )
+
+        rs = np.random.RandomState(0)
+        w = jnp.asarray(rs.randn(16, 32), jnp.float32)
+        sm = to_supermask(w, sparsity=0.5)
+        mw = sm.masked_weight()
+        frac = float(jnp.mean((mw == 0).astype(jnp.float32)))
+        assert 0.45 < frac < 0.55
+        # kept entries are the largest-|w| ones (scores init = |w|)
+        assert float(jnp.min(jnp.abs(mw[mw != 0]))) >= float(
+            jnp.max(jnp.abs(w * (mw == 0)))
+        ) - 1e-5
+
+        x = jnp.asarray(rs.randn(4, 32), jnp.float32)
+
+        def loss(sm):
+            return jnp.sum(ops.linear(x, sm) ** 2)
+
+        g = jax.grad(loss)(sm)
+        assert float(jnp.linalg.norm(g.scores)) > 0  # STE to scores
+        # weight grads masked
+        mask = np.asarray(mw != 0)
+        gw = np.asarray(g.weight)
+        assert (gw[~mask] == 0).all()
+
+    def test_learned_mask_improves(self):
+        """Training scores (weights frozen) finds a better mask than
+        magnitude init when importance is activation-dependent."""
+        from torchao_tpu import ops
+        from torchao_tpu.sparsity.supermask import to_supermask
+        import dataclasses
+
+        rs = np.random.RandomState(1)
+        w = jnp.asarray(rs.randn(8, 64), jnp.float32)
+        # only first 16 input dims carry signal
+        x = jnp.asarray(
+            np.concatenate(
+                [rs.randn(128, 16), np.zeros((128, 48))], axis=1
+            ),
+            jnp.float32,
+        )
+        y = x @ w.T
+        sm = to_supermask(w, sparsity=0.75)
+
+        def loss(sm):
+            return jnp.mean((ops.linear(x, sm) - y) ** 2)
+
+        l0 = float(loss(sm))
+        g = jax.jit(jax.grad(loss))
+        for _ in range(100):
+            grads = g(sm)
+            sm = dataclasses.replace(
+                sm, scores=sm.scores - 0.5 * grads.scores
+            )
+        assert float(loss(sm)) < l0 * 0.7

@@ -332,3 +332,45 @@ class TestBitShards:
         # fidelity scales with bits; 2-bit is crude
         bound = {2: 3, 3: 8, 5: 18, 6: 24, 7: 30}[nbits]
         assert compute_error(ref, out) > bound
+
+
+class TestSliceForServing:
+    """The reference's vLLM weight-loading pattern
+    (`_test_slice_and_copy_similar_to_vllm`, torchao/testing/utils.py:428):
+    a quantized weight must slice along out-features with qparams staying
+    consistent — needed for manual TP sharding and serving loaders."""
+
+    @pytest.mark.parametrize("fmt", ["plain", "tiled"])
+    def test_slice_matches_dequant_slice(self, fmt):
+        from torchao_tpu.qtypes.base import PackingFormat as PF
+
+        w = _w((256, 128), seed=42, dtype=jnp.bfloat16)
+        cfg = Int4WeightOnlyConfig(
+            group_size=32,
+            packing_format=PF.TILED_NIBBLES if fmt == "tiled" else PF.PLAIN,
+        )
+        qw = quantize_({"w": w}, cfg)["w"]
+        half = qw.slice_out_features(64, 128)
+        assert half.shape == (128, 128)
+        np.testing.assert_array_equal(
+            np.asarray(half.dequantize(jnp.float32)),
+            np.asarray(qw.dequantize(jnp.float32))[64:192],
+        )
+        # sliced shard still runs through dispatch
+        x = _w((2, 128), seed=43, dtype=jnp.bfloat16)
+        out = ops.linear(x, half)
+        full = ops.linear(x, qw)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32),
+            np.asarray(full, np.float32)[:, 64:192],
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_slice_int8(self):
+        w = _w((64, 32), seed=44, dtype=jnp.bfloat16)
+        qw = quantize_({"w": w}, Int8WeightOnlyConfig())["w"]
+        part = qw.slice_out_features(0, 16)
+        np.testing.assert_array_equal(
+            np.asarray(part.dequantize(jnp.float32)),
+            np.asarray(qw.dequantize(jnp.float32))[:16],
+        )

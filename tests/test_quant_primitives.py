@@ -346,3 +346,21 @@ class TestReferenceParity:
         ).reshape(32, 128)
         err_plain = float(jnp.mean((dq0 - x) ** 2))
         assert err_hqq <= err_plain * 1.05
+
+
+class TestGGUF:
+    def test_double_quant_roundtrip(self):
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(8, 256), jnp.float32
+        )
+        bs = (1, 32)  # 8 blocks per row → one super block of 8
+        sss, sms, qs, qm = qp.choose_qparams_gguf(x, bs, "uint4")
+        assert qs.dtype == jnp.uint8 and qm.dtype == jnp.int8
+        assert sss.shape == (8, 1, 1)
+        q = qp.quantize_gguf(x, bs, "uint4", sss, sms, qs, qm)
+        assert int(jnp.min(q)) >= 0 and int(jnp.max(q)) <= 15
+        dq = qp.dequantize_gguf(q, bs, "uint4", sss, sms, qs, qm)
+        from torchao_tpu.utils import compute_error
+
+        err = compute_error(x, dq)
+        assert err > 14, err  # ~4-bit fidelity w/ 6-bit double-quant scales

@@ -28,15 +28,15 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    pos_ref,  # scalar prefetch: [B] int32 — last valid cache index/slot
-    q_ref,    # [1, 1, G, Dh] bf16
+    pos_ref,  # scalar prefetch: [B] int32 — position of the FIRST query
+    q_ref,    # [1, 1, R, Dh] bf16 — R = T·G rows, t-major (row r → t=r//G)
     kq_ref,   # [1, 1, bs, Dh] int8
     ks_ref,   # [1, 1, bs, 1] bf16
     vq_ref,   # [1, 1, bs, Dh] int8
     vs_ref,   # [1, 1, bs, 1] bf16
-    out_ref,  # [1, 1, G, Dh] f32
+    out_ref,  # [1, 1, R, Dh] f32
     m_ref, l_ref, acc_ref,
-    *, bs: int, scale: float, n_s_blocks: int,
+    *, bs: int, scale: float, n_s_blocks: int, rows_per_t: int,
 ):
     s = pl.program_id(2)
 
@@ -48,22 +48,29 @@ def _kernel(
 
     pos = pos_ref[pl.program_id(0)]
     block_start = s * bs
+    R = q_ref.shape[2]
+    n_t = R // rows_per_t  # T query positions in this call
 
-    @pl.when(block_start <= pos)
+    # query row r has absolute position pos + r // rows_per_t; this key
+    # block is relevant if any row can see it
+    @pl.when(block_start <= pos + (n_t - 1))
     def _():
-        q = q_ref[0, 0]                      # [G, Dh]
+        q = q_ref[0, 0]                      # [R, Dh]
         k = kq_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(
             jnp.bfloat16
         )                                     # [bs, Dh]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                             # [G, bs]
+        ) * scale                             # [R, bs]
 
         idx = block_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
         )
-        scores = jnp.where(idx <= pos, scores, NEG_INF)
+        row_t = jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=0
+        ) // rows_per_t
+        scores = jnp.where(idx <= pos + row_t, scores, NEG_INF)
 
         m_old = m_ref[:]                      # [G, 1]
         m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
@@ -88,22 +95,27 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "bs", "interpret")
+    jax.jit, static_argnames=("scale", "bs", "rows_per_t", "interpret")
 )
 def quantized_kv_decode_attention(
-    q: jnp.ndarray,        # [B, Hkv, G, Dh] bf16 (GQA group on sublanes)
+    q: jnp.ndarray,        # [B, Hkv, R, Dh] bf16 — R = T·G, t-major rows
     k_q: jnp.ndarray,      # [B, Hkv, S, Dh] int8
     k_scale: jnp.ndarray,  # [B, Hkv, S, 1]
     v_q: jnp.ndarray,      # [B, Hkv, S, Dh] int8
     v_scale: jnp.ndarray,  # [B, Hkv, S, 1]
-    pos: jnp.ndarray,      # scalar or [B] int32: attend to slots <= pos[b]
+    pos: jnp.ndarray,      # scalar or [B] int32: position of query t=0
     *,
     scale: Optional[float] = None,
     bs: int = 1024,
+    rows_per_t: Optional[int] = None,  # = G; None → R (decode, T=1)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, Hkv, G, Dh] f32 attention output."""
+    """Returns [B, Hkv, R, Dh] f32 attention output. T=1 (decode) by
+    default; for prefill pass ``rows_per_t=G`` with R = T·G rows and
+    causal masking ``key ≤ pos + t`` is applied per query row."""
     B, Hkv, G, Dh = q.shape
+    if rows_per_t is None:
+        rows_per_t = G
     S = k_q.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
@@ -133,7 +145,8 @@ def quantized_kv_decode_attention(
         ],
     )
     kernel = functools.partial(
-        _kernel, bs=bs, scale=scale, n_s_blocks=n_s
+        _kernel, bs=bs, scale=scale, n_s_blocks=n_s,
+        rows_per_t=rows_per_t,
     )
     out_call = pl.pallas_call(
         kernel,

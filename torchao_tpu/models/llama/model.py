@@ -340,9 +340,10 @@ def _attention(
     v = v.transpose(0, 2, 1, 3)
 
     if layer_cache is not None:
-        # quantized cache + single-token decode on TPU → Pallas kernel
-        # consuming int8 KV directly (no bf16 cache materialization)
-        if "k_q" in layer_cache and T == 1 and _pallas_attention_enabled():
+        # quantized cache on TPU → Pallas flash kernel consuming int8 KV
+        # directly (no bf16 cache materialization), for both decode (T=1)
+        # and prefill (T>1, per-row causal masking)
+        if "k_q" in layer_cache and _pallas_attention_enabled():
             from torchao_tpu.kernels.quantized_attention import (
                 quantized_kv_decode_attention,
             )
@@ -360,7 +361,12 @@ def _attention(
                 ),
             }
             g = H // Hkv
-            qg = q[:, :, 0, :].reshape(B, Hkv, g, Dh)
+            # rows t-major: [B, H, T, Dh] → [B, Hkv, T·g, Dh]
+            qg = (
+                q.reshape(B, Hkv, g, T, Dh)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, Hkv, T * g, Dh)
+            )
             pos_vec = (
                 input_pos if getattr(input_pos, "ndim", 0) == 1
                 else jnp.full((B,), input_pos, jnp.int32)
@@ -370,8 +376,14 @@ def _attention(
                 new_cache["k_q"], new_cache["k_scale"],
                 new_cache["v_q"], new_cache["v_scale"],
                 pos_vec,
-            )  # [B, Hkv, g, Dh] f32; head h = kvh*g + i matches q order
-            out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
+                rows_per_t=g,
+            )  # [B, Hkv, T·g, Dh] f32
+            out = (
+                attn.reshape(B, Hkv, T, g, Dh)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(B, T, H * Dh)
+                .astype(x.dtype)
+            )
             out = ops.linear(out, _layer_weight(lw["wo"]))
             return out, new_cache
         k_full, v_full, new_cache = _update_layer_cache(

@@ -186,6 +186,41 @@ class IntxArray(QuantizedArray):
             activation_dtype=str(jnp.dtype(w.dtype)),
         )
 
+    # --- slicing (TP / serving weight loading) -----------------------------
+    def slice_out_features(self, start: int, size: int) -> "IntxArray":
+        """Logical slice along out-features (N) — the op vLLM-style weight
+        loaders and manual TP sharding need (reference implements
+        aten.slice on AQT for exactly this,
+        ``affine_quantized_tensor_ops.py:467-598``)."""
+        import dataclasses as _dc
+
+        if self.packing_format is PackingFormat.TILED_NIBBLES:
+            # K-major storage: N is the LAST axis of every leaf
+            qdata = self.qdata[..., start : start + size]
+            scale = self.scale[..., start : start + size]
+            zp = (
+                None if self.zero_point is None
+                else self.zero_point[..., start : start + size]
+            )
+        else:
+            qdata = self.qdata[..., start : start + size, :]
+            scale = self.scale[..., start : start + size, :] \
+                if self.scale.ndim == self.qdata.ndim \
+                else self.scale[..., start : start + size]
+            zp = self.zero_point
+            if zp is not None:
+                zp = (
+                    zp[..., start : start + size, :]
+                    if zp.ndim == self.qdata.ndim
+                    else zp[..., start : start + size]
+                )
+        ls = list(self.shape)
+        ls[-2] = size
+        return _dc.replace(
+            self, qdata=qdata, scale=scale, zero_point=zp,
+            logical_shape=tuple(ls),
+        )
+
     # --- unpack / dequantize ----------------------------------------------
     def unpacked_qdata(self) -> jnp.ndarray:
         """qdata with packing undone — integer values in the target dtype's

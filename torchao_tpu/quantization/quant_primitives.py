@@ -974,6 +974,113 @@ def choose_qparams_and_quantize_affine_hqq(
 
 
 # ---------------------------------------------------------------------------
+# GGUF-style k-quant (double quantization of scales)
+# ---------------------------------------------------------------------------
+
+
+def choose_qparams_gguf(
+    input: jnp.ndarray,
+    block_size: Sequence[int],
+    target_dtype: Union[str, jnp.dtype] = "uint4",
+    n_super_blocks: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GGUF k-quant qparams (reference ``_choose_qparams_gguf``,
+    ``quant_primitives.py:1650``): per-block asymmetric scale/min, with
+    the block scales and mins themselves quantized to 6 effective bits
+    against a per-super-block (``n_super_blocks`` blocks) super scale.
+
+    Returns (super_block_scale_scale, super_block_min_scale,
+    quantized_block_scale, quantized_block_min) — dequantized block
+    qparams are ``q_scale * sb_scale_scale`` and ``q_min * sb_min_scale``.
+    """
+    quant_min, quant_max = qmin_qmax(target_dtype)
+    min_val, max_val, _, _ = _block_min_max(input, block_size)
+    # asymmetric, zero not preserved: scale=(max-min)/range, min offset
+    scale = (max_val - min_val) / float(quant_max - quant_min)
+    scale = jnp.maximum(scale, 1e-12)
+    mins = -min_val  # stored as positive "min" like GGUF
+
+    # reshape into super blocks along the last blocked axis
+    sb_shape = scale.shape[:-1] + (
+        scale.shape[-1] // n_super_blocks, n_super_blocks,
+    )
+    s_blocks = scale.reshape(sb_shape)
+    m_blocks = mins.reshape(sb_shape)
+
+    q6_max = 63.0
+    sb_scale_scale = jnp.max(s_blocks, axis=-1, keepdims=True) / q6_max
+    sb_min_scale = jnp.maximum(
+        jnp.max(jnp.abs(m_blocks), axis=-1, keepdims=True), 1e-12
+    ) / q6_max
+    sb_scale_scale = jnp.maximum(sb_scale_scale, 1e-12)
+    q_scale = jnp.clip(
+        jnp.round(s_blocks / sb_scale_scale), 0, q6_max
+    ).astype(jnp.uint8)
+    q_min = jnp.clip(
+        jnp.round(m_blocks / sb_min_scale), -q6_max, q6_max
+    ).astype(jnp.int8)
+    return sb_scale_scale, sb_min_scale, q_scale, q_min
+
+
+def quantize_gguf(
+    input: jnp.ndarray,
+    block_size: Sequence[int],
+    target_dtype: Union[str, jnp.dtype],
+    super_block_scale_scale: jnp.ndarray,
+    super_block_min_scale: jnp.ndarray,
+    quantized_block_scale: jnp.ndarray,
+    quantized_block_min: jnp.ndarray,
+) -> jnp.ndarray:
+    """``q = clamp(round((x + min) / scale))`` with double-dequantized
+    block qparams (reference ``_quantize_gguf``)."""
+    quant_min, quant_max = qmin_qmax(target_dtype)
+    scale = (
+        quantized_block_scale.astype(jnp.float32)
+        * super_block_scale_scale
+    ).reshape(quantized_block_scale.shape[:-2] + (-1,))
+    mins = (
+        quantized_block_min.astype(jnp.float32) * super_block_min_scale
+    ).reshape(quantized_block_min.shape[:-2] + (-1,))
+    original_shape = input.shape
+    shape_for_reduction, _ = get_reduction_params(block_size, input.shape)
+    x = input.reshape(shape_for_reduction).astype(jnp.float32)
+    s_v = _view_qparam(scale, block_size, original_shape)
+    m_v = _view_qparam(mins, block_size, original_shape)
+    q = jnp.clip(
+        jnp.round((x + m_v) / jnp.maximum(s_v, 1e-12)),
+        quant_min, quant_max,
+    )
+    return q.reshape(original_shape).astype(storage_dtype(target_dtype))
+
+
+def dequantize_gguf(
+    input: jnp.ndarray,
+    block_size: Sequence[int],
+    target_dtype: Union[str, jnp.dtype],
+    super_block_scale_scale: jnp.ndarray,
+    super_block_min_scale: jnp.ndarray,
+    quantized_block_scale: jnp.ndarray,
+    quantized_block_min: jnp.ndarray,
+    output_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """``x = q * scale − min`` (reference ``_dequantize_gguf``)."""
+    scale = (
+        quantized_block_scale.astype(jnp.float32)
+        * super_block_scale_scale
+    ).reshape(quantized_block_scale.shape[:-2] + (-1,))
+    mins = (
+        quantized_block_min.astype(jnp.float32) * super_block_min_scale
+    ).reshape(quantized_block_min.shape[:-2] + (-1,))
+    original_shape = input.shape
+    shape_for_reduction, _ = get_reduction_params(block_size, input.shape)
+    q = input.reshape(shape_for_reduction).astype(jnp.float32)
+    s_v = _view_qparam(scale, block_size, original_shape)
+    m_v = _view_qparam(mins, block_size, original_shape)
+    dq = q * s_v - m_v
+    return dq.reshape(original_shape).astype(output_dtype)
+
+
+# ---------------------------------------------------------------------------
 # per-token helpers
 # ---------------------------------------------------------------------------
 
