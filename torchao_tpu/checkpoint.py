@@ -17,7 +17,6 @@ import json
 import os
 from typing import Any, Dict
 
-import jax
 import numpy as np
 
 _QARRAY_CLASSES = {}

@@ -14,9 +14,8 @@ trick, ``fsdp_utils.py:28``) falls out of sharding propagation for free.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Block size defaults to 256 like the reference (``subclass_8bit.py``).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax

@@ -8,9 +8,7 @@ Analog of the reference's ``profiler_runner`` / ``benchmark_model``
 from __future__ import annotations
 
 import contextlib
-import os
-import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 

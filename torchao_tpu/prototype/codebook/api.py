@@ -11,7 +11,6 @@ ARM kernels (SURVEY.md §2.7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ that ``quantize_`` applies directly.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -17,7 +17,7 @@ GEMM kernels (``moe_training/scaled_grouped_mm.py``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

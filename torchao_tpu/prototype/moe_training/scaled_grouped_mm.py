@@ -14,8 +14,6 @@ Group sizes are static-shape-friendly: ragged_dot carries them as data.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from torchao_tpu.core.config import AOBaseConfig

@@ -12,10 +12,8 @@ dequant — the reference's own "emulated" kernel choice
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from torchao_tpu.qtypes.base import (

@@ -15,7 +15,6 @@ at ``bits ∈ {1, 2}`` (absmax grid), complementing BitNet in
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

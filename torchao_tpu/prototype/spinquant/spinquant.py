@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from torchao_tpu.prototype.spinquant.hadamard_utils import (
