@@ -192,6 +192,7 @@ def main():
                 "value": round(value, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(value / BASELINE_TOK_S, 4),
+                "ttft_p50_ms": round(res.get("ttft_p50_ms", 0.0), 1),
                 "effective_weight_bw_GBps": round(eff_bw, 1),
                 "probe_bw_GBps": round(device_bw, 1),
                 "weight_read_GB_per_tok": round(read_bytes / 1e9, 3),

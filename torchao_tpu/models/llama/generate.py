@@ -183,7 +183,20 @@ def benchmark_decode(
         run()
         times.append(time.perf_counter() - t0)
     t = min(times)
-    # prefill time is included; with short prompts decode dominates
+
+    # TTFT: prefill latency alone (p50 over iters), sync via value fetch
+    ttfts = []
+    for _ in range(iters):
+        cache = model.setup_caches(
+            batch_size, max_seq, quantize=kv_cache_quantization
+        )
+        t0 = time.perf_counter()
+        first, cache = prefill(params, prompt, cache, key, 0.6, 200)
+        int(first[0])
+        ttfts.append(time.perf_counter() - t0)
+    ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
+
+    # prefill time is included in t; with short prompts decode dominates
     toks_per_s = (num_tokens * batch_size) / t
     bw = model_bytes * num_tokens / t / 1e9
     return {
@@ -191,4 +204,5 @@ def benchmark_decode(
         "mem_bw_GBps": bw,
         "model_size_GB": model_bytes / 1e9,
         "time_s": t,
+        "ttft_p50_ms": ttft_p50 * 1e3,
     }
