@@ -123,3 +123,47 @@ class TestGroupedLinear:
         out = quantized_grouped_linear(x, sizes, qW)
         ref = quantized_grouped_linear(x, sizes, W)
         assert compute_error(ref, out) > 25
+
+
+class TestRaggedMode:
+    def test_ragged_matches_dense_forward(self, moe_model):
+        """The sorted grouped-GEMM MoE path must equal the dense path."""
+        from torchao_tpu.models.mixtral import MoETransformer
+
+        model_dense, params = moe_model
+        model_ragged = MoETransformer(
+            model_dense.args, dtype=jnp.float32, moe_mode="ragged"
+        )
+        toks = jnp.asarray(
+            np.random.RandomState(9).randint(0, 512, (2, 8)), jnp.int32
+        )
+        ref, _ = model_dense(params, toks)
+        out, _ = model_ragged(params, toks)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+        # jitted too
+        jout, _ = jax.jit(lambda p, t: model_ragged(p, t))(params, toks)
+        np.testing.assert_allclose(
+            np.asarray(jout), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_ragged_quantized(self, moe_model):
+        from torchao_tpu.models.mixtral import (
+            MoETransformer,
+            moe_linear_filter,
+        )
+
+        model_dense, params = moe_model
+        qparams = quantize_(
+            params, MoEQuantConfig(Int8WeightOnlyConfig()),
+            filter_fn=moe_linear_filter,
+        )
+        model_ragged = MoETransformer(
+            model_dense.args, dtype=jnp.float32, moe_mode="ragged"
+        )
+        ref, _ = model_dense(qparams, toks := jnp.asarray(
+            np.random.RandomState(10).randint(0, 512, (1, 6)), jnp.int32
+        ))
+        out, _ = model_ragged(qparams, toks)
+        assert compute_error(ref, out) > 30

@@ -54,20 +54,28 @@ moe_configs = {
 }
 
 
-def _moe_ffn(x: jnp.ndarray, lw: Dict[str, Any], args: MoEModelArgs):
-    """Top-k routed SwiGLU MoE (dense path)."""
+def _moe_ffn(
+    x: jnp.ndarray, lw: Dict[str, Any], args: MoEModelArgs,
+    mode: str = "dense",
+):
+    """Top-k routed SwiGLU MoE.
+
+    ``dense``: every expert computes every token, outputs mixed by router
+    weights — best for tiny batches / tests (no data movement).
+    ``ragged``: (token, k) pairs sorted by expert + ``lax.ragged_dot``
+    grouped GEMMs — each token touches only its routed experts, the
+    TPU-efficient path at scale (static shapes: T·k rows, argsort +
+    scatter-unsort).
+    """
     B, T, D = x.shape
     E, K = args.num_experts, args.num_activated_experts
     xt = x.reshape(-1, D)
+    Tt = xt.shape[0]
 
     router_logits = ops.linear(xt, _layer_weight(lw["gate"]))  # [T*, E]
     weights = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     top_w, top_idx = jax.lax.top_k(weights, K)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
-
-    # dense mixing matrix [T*, E]: renormalized top-k router weights
-    mix = jax.nn.one_hot(top_idx, E, dtype=weights.dtype) * top_w[..., None]
-    mix = jnp.sum(mix, axis=1)  # [T*, E]
 
     w1 = _layer_weight(lw["w1"])  # [E, I, D] (possibly quantized)
     w2 = _layer_weight(lw["w2"])  # [E, D, I]
@@ -76,6 +84,31 @@ def _moe_ffn(x: jnp.ndarray, lw: Dict[str, Any], args: MoEModelArgs):
     def dq(w):
         return w.dequantize(x.dtype) if isinstance(w, QuantizedArray) else w
 
+    if mode == "ragged":
+        from torchao_tpu.prototype.moe_quant import (
+            quantized_grouped_linear,
+        )
+
+        e_flat = top_idx.reshape(-1)                    # [T*·K]
+        order = jnp.argsort(e_flat)                     # expert-sorted
+        tok_of_row = order // K
+        x_sorted = xt[tok_of_row]                       # [T*·K, D]
+        group_sizes = jnp.bincount(e_flat, length=E).astype(jnp.int32)
+
+        h1 = quantized_grouped_linear(x_sorted, group_sizes, w1)
+        h3 = quantized_grouped_linear(x_sorted, group_sizes, w3)
+        h = jax.nn.silu(h1) * h3
+        o_sorted = quantized_grouped_linear(
+            h.astype(x.dtype), group_sizes, w2
+        )                                               # [T*·K, D]
+        gate_w = top_w.reshape(-1)[order].astype(o_sorted.dtype)
+        contrib = o_sorted * gate_w[:, None]
+        out = jnp.zeros((Tt, D), contrib.dtype).at[tok_of_row].add(contrib)
+        return out.reshape(B, T, D).astype(x.dtype)
+
+    # dense mixing matrix [T*, E]: renormalized top-k router weights
+    mix = jax.nn.one_hot(top_idx, E, dtype=weights.dtype) * top_w[..., None]
+    mix = jnp.sum(mix, axis=1)  # [T*, E]
     h1 = jnp.einsum("td,eid->tei", xt, dq(w1))
     h3 = jnp.einsum("td,eid->tei", xt, dq(w3))
     h = jax.nn.silu(h1) * h3
@@ -86,7 +119,7 @@ def _moe_ffn(x: jnp.ndarray, lw: Dict[str, Any], args: MoEModelArgs):
 
 def moe_transformer_forward(
     params, tokens, input_pos, cache, freqs_full, args: MoEModelArgs,
-    mask=None,
+    mask=None, moe_mode: str = "dense",
 ):
     B, T = tokens.shape
     x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
@@ -109,7 +142,7 @@ def moe_transformer_forward(
         x = x + h
         x = x + _moe_ffn(
             rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
-            lw["block_sparse_moe"], args,
+            lw["block_sparse_moe"], args, mode=moe_mode,
         )
         return x, new_cache
 
@@ -128,9 +161,11 @@ def moe_transformer_forward(
 
 
 class MoETransformer:
-    def __init__(self, args: MoEModelArgs, dtype=jnp.bfloat16):
+    def __init__(self, args: MoEModelArgs, dtype=jnp.bfloat16,
+                 moe_mode: str = "dense"):
         self.args = args
         self.dtype = dtype
+        self.moe_mode = moe_mode
         self.freqs = precompute_freqs_cis(args)
 
     @classmethod
@@ -181,7 +216,8 @@ class MoETransformer:
 
     def __call__(self, params, tokens, input_pos=0, cache=None, mask=None):
         return moe_transformer_forward(
-            params, tokens, input_pos, cache, self.freqs, self.args, mask
+            params, tokens, input_pos, cache, self.freqs, self.args, mask,
+            moe_mode=self.moe_mode,
         )
 
 
