@@ -306,9 +306,24 @@ def _check_laqt_generic(x, w, bias):
 
 
 def _impl_laqt_generic(x, w, bias, preference):
-    """Generic dynamic-act path: quantize input, dequant both, hp matmul —
-    the correctness fallback of ``LinearActivationQuantizedTensor``
+    """Generic dynamic-act path: quantize-dequantize the input (so the
+    activation quantization error is faithfully modeled), dequantize the
+    weight, hp matmul — the correctness fallback of
+    ``LinearActivationQuantizedTensor``
     (``linear_activation_quantized_tensor.py:135``)."""
+    quantized = w.quantize_input(x)
+    if isinstance(quantized, tuple):
+        if len(quantized) == 3:  # asymmetric: (q, scale, zp)
+            q, scale, zp = quantized
+            x_dq = (
+                q.astype(jnp.float32) - zp.astype(jnp.float32)[..., None]
+            ) * scale.astype(jnp.float32)[..., None]
+        else:  # symmetric: (q, scale)
+            q, scale = quantized
+            x_dq = q.astype(jnp.float32) * scale.astype(jnp.float32)[
+                ..., None
+            ]
+        x = x_dq.astype(x.dtype)
     inner = w.original_weight
     wd = inner.dequantize(x.dtype)
     out = jnp.matmul(x, wd.T)
