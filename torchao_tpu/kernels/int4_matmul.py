@@ -58,9 +58,10 @@ def _kernel(
     # convert and one multiply remain on the VPU.
     bkp = wp_ref.shape[0]
     bg = s_lo_ref.shape[0]
-    wp = wp_ref[:].astype(jnp.int32)
-    lo = (wp & 0xF).astype(jnp.bfloat16)
-    hi = (wp >> 4).astype(jnp.bfloat16)  # u8 source → already in 0..15
+    # bit-ops stay in uint8 (4× lane density vs widening to i32 first)
+    wp = wp_ref[:]
+    lo = (wp & jnp.uint8(0xF)).astype(jnp.bfloat16)
+    hi = (wp >> jnp.uint8(4)).astype(jnp.bfloat16)  # u8 → already 0..15
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 1)
