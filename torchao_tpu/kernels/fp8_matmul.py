@@ -114,6 +114,10 @@ def fp8_rowwise_matmul_reference(x_q, w_q, x_scale, w_scale,
 def fp8_rowwise_matmul_available(x_q, w):
     from torchao_tpu.qtypes.float8 import Float8Array
 
+    import os
+
+    if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_FP8") == "1":
+        return None
     if not isinstance(w, Float8Array) or w.qdata.ndim != 2:
         return None
     N, K = w.qdata.shape

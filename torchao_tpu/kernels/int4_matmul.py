@@ -188,6 +188,10 @@ def int4_dq_matmul_available(x, w):
     (TILED_NIBBLES K-major layout, aligned shapes, FLOAT zero domain)."""
     from torchao_tpu.qtypes.intx import IntxArray
 
+    import os
+
+    if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_INT4") == "1":
+        return None
     if not isinstance(w, IntxArray):
         return None
     if w.packing_format is not PackingFormat.TILED_NIBBLES:

@@ -117,6 +117,10 @@ def int8_scaled_matmul_available(x_q, w):
     ``w`` is the inner IntxArray (int8, per-channel symmetric, PLAIN)."""
     from torchao_tpu.qtypes.intx import IntxArray
 
+    import os
+
+    if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_INT8") == "1":
+        return None
     if not isinstance(w, IntxArray) or w.qdata.ndim != 2:
         return None
     N, K = w.qdata.shape
