@@ -39,6 +39,73 @@ def test_spinquant_preserves_float_function():
     assert err > 35, f"rotation changed the float function: {err} dB"
 
 
+def test_hadamard_paley_orders():
+    """Non-pow2 orders 12/20/28 (Paley) and their pow2 multiples — the
+    constructions replacing the reference's hardcoded had_12/20/28."""
+    from torchao_tpu.prototype.spinquant import is_hadamard_order
+
+    for n in (12, 20, 28, 56, 448):
+        H = np.asarray(hadamard_matrix(n))
+        np.testing.assert_allclose(H @ H.T, np.eye(n), atol=1e-4)
+        # entries are ±1/sqrt(n) — a true Hadamard, not just orthogonal
+        np.testing.assert_allclose(
+            np.abs(H) * np.sqrt(n), np.ones((n, n)), atol=1e-4
+        )
+    assert is_hadamard_order(14336)   # Llama-3-8B FFN = 28·512
+    assert not is_hadamard_order(100)
+
+
+def test_apply_hadamard_matches_matmul():
+    from torchao_tpu.prototype.spinquant import apply_hadamard
+
+    rs = np.random.RandomState(0)
+    for n in (64, 448):
+        x = jnp.asarray(rs.randn(3, n), jnp.float32)
+        ref = x @ hadamard_matrix(n)
+        out = apply_hadamard(x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4
+        )
+
+
+def test_spinquant_r2_preserves_float_function():
+    model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
+    a = model.args
+    params = model.init_params(jax.random.PRNGKey(0))
+    toks = jnp.asarray(
+        np.random.RandomState(4).randint(0, 512, (1, 8)), jnp.int32
+    )
+    ref, _ = model(params, toks)
+    rotated = apply_spinquant(
+        params, jax.random.PRNGKey(5), r2=True,
+        head_dim=a.head_dim, n_head=a.n_head,
+        n_local_heads=a.n_local_heads,
+    )
+    out, _ = model(rotated, toks)
+    err = compute_error(ref, out)
+    assert err > 35, f"R1+R2 changed the float function: {err} dB"
+
+
+def test_spinquant_r4_preserves_float_function():
+    import dataclasses
+
+    model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    toks = jnp.asarray(
+        np.random.RandomState(6).randint(0, 512, (1, 8)), jnp.int32
+    )
+    ref, _ = model(params, toks)
+    rotated = apply_spinquant(params, jax.random.PRNGKey(7), r4=True)
+    args_r4 = dataclasses.replace(model.args, use_r4_hadamard=True)
+    model_r4 = Transformer(args_r4, dtype=jnp.float32)
+    out, _ = model_r4(rotated, toks)
+    err = compute_error(ref, out)
+    assert err > 35, f"R1+R4 changed the float function: {err} dB"
+    # sanity: running WITHOUT the online transform must NOT match
+    broken, _ = model(rotated, toks)
+    assert compute_error(ref, broken) < 20
+
+
 def test_spinquant_spreads_outliers():
     """A weight with a single huge channel should have a much smaller
     max/mean ratio after rotation (the property that helps int4)."""

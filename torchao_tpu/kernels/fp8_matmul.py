@@ -116,6 +116,13 @@ def fp8_rowwise_matmul_available(x_q, w):
 
     import os
 
+    # OFF by default: measured on v5e (no native fp8 arithmetic) the XLA
+    # dequant path decodes Llama-3-8B fp8dq at 69.9 tok/s / 525 GB/s vs
+    # 8.2 tok/s through this kernel — XLA's e4m3→bf16 convert lowering
+    # beats the kernel's 8.5×. Opt back in with
+    # TORCHAO_TPU_ENABLE_PALLAS_FP8=1 (e.g. on hardware with native fp8).
+    if os.environ.get("TORCHAO_TPU_ENABLE_PALLAS_FP8") != "1":
+        return None
     if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_FP8") == "1":
         return None
     if not isinstance(w, Float8Array) or w.qdata.ndim != 2:

@@ -50,6 +50,10 @@ class ModelArgs:
     norm_eps: float = 1e-5
     use_scaled_rope: bool = False
     tie_word_embeddings: bool = False
+    # SpinQuant R4: online Hadamard on the SwiGLU gate output before w2
+    # (w2 must have been folded by prototype.spinquant.apply_spinquant
+    # with r4=True — see that module's docstring).
+    use_r4_hadamard: bool = False
 
     def __post_init__(self):
         if self.n_local_heads == -1:
@@ -413,11 +417,21 @@ def _attention(
     return out, new_cache
 
 
-def _feed_forward(x: jnp.ndarray, lw: Dict[str, Any]) -> jnp.ndarray:
-    """SwiGLU MLP (reference ``FeedForward``)."""
+def _feed_forward(
+    x: jnp.ndarray, lw: Dict[str, Any], r4: bool = False
+) -> jnp.ndarray:
+    """SwiGLU MLP (reference ``FeedForward``). ``r4`` applies the
+    SpinQuant online Hadamard to the gate output (w2 pre-folded)."""
     h1 = ops.linear(x, _layer_weight(lw["w1"]))
     h3 = ops.linear(x, _layer_weight(lw["w3"]))
-    return ops.linear(jax.nn.silu(h1) * h3, _layer_weight(lw["w2"]))
+    h = jax.nn.silu(h1) * h3
+    if r4:
+        from torchao_tpu.prototype.spinquant.hadamard_utils import (
+            apply_hadamard,
+        )
+
+        h = apply_hadamard(h)
+    return ops.linear(h, _layer_weight(lw["w2"]))
 
 
 def transformer_forward(
@@ -471,6 +485,7 @@ def transformer_forward(
         x = x + _feed_forward(
             rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
             lw["feed_forward"],
+            r4=args.use_r4_hadamard,
         )
         return x, new_cache
 
