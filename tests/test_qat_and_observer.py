@@ -230,3 +230,55 @@ class TestEmbeddingQAT:
         gn = np.linalg.norm(np.asarray(g), axis=1)
         assert (gn[np.asarray(ids)] > 0).all()
         assert gn[0] == 0
+
+    def test_embedding_qat_convert_to_quantized_table(self):
+        """prepare → train → convert: the deployed table is a PLAIN
+        IntxArray whose row-gather matches the fake-quant numerics
+        (reference qat/embedding.py convert path)."""
+        import optax
+
+        from torchao_tpu import ops
+        from torchao_tpu.qtypes.base import PackingFormat
+        from torchao_tpu.qtypes.intx import IntxArray
+        from torchao_tpu.quantization.qat import QATConfig
+        from torchao_tpu.quantization.quant_api import (
+            IntxWeightOnlyConfig,
+            PerGroup,
+            quantize_,
+        )
+
+        base = IntxWeightOnlyConfig("int4", PerGroup(16))
+        table = jnp.asarray(
+            np.random.RandomState(1).randn(64, 32), jnp.float32
+        )
+        prepared = quantize_(
+            {"emb": table}, QATConfig(base, step="prepare"),
+            filter_fn=lambda p, l: True,
+        )
+        ids = jnp.asarray([2, 7, 11, 13], jnp.int32)
+        tgt = jnp.asarray(np.random.RandomState(2).randn(4, 32),
+                          jnp.float32)
+
+        def loss(p):
+            return jnp.mean((ops.embedding(p["emb"], ids) - tgt) ** 2)
+
+        opt = optax.sgd(0.5)
+        state = opt.init(prepared)
+        l0 = float(loss(prepared))
+        for _ in range(50):
+            grads = jax.grad(loss)(prepared)
+            upd, state = opt.update(grads, state)
+            prepared = optax.apply_updates(prepared, upd)
+        assert float(loss(prepared)) < l0 * 0.5  # QAT actually trains
+
+        converted = quantize_(
+            prepared, QATConfig(base, step="convert"),
+            filter_fn=lambda p, l: True,
+        )
+        q = converted["emb"]
+        assert isinstance(q, IntxArray)
+        assert q.packing_format is PackingFormat.PLAIN
+        # converted lookup ≈ final fake-quant lookup (same numerics)
+        fq = np.asarray(ops.embedding(prepared["emb"], ids))
+        real = np.asarray(ops.embedding(q, ids))
+        np.testing.assert_allclose(real, fq, rtol=1e-4, atol=1e-4)

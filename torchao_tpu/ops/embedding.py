@@ -32,28 +32,42 @@ def embedding(weight, ids: jnp.ndarray) -> jnp.ndarray:
             q_rows = weight.qdata[ids]
             scale = weight.scale
             zp = weight.zero_point
-            # per-row qparams ([V] or [V, k_groups])
-            s_rows = scale[ids]
-            while s_rows.ndim < q_rows.ndim:
-                s_rows = s_rows[..., None]
-            out = q_rows.astype(jnp.float32)
-            if zp is not None and weight.zero_point_domain is ZeroPointDomain.INT:
-                z_rows = zp[ids]
-                while z_rows.ndim < q_rows.ndim:
-                    z_rows = z_rows[..., None]
-                out = out - z_rows.astype(jnp.float32)
-            out = out * s_rows.astype(jnp.float32)
-            # group-wise scales need interleaved expansion instead
-            if scale.ndim == 2 and scale.shape[-1] > 1:
+            groupwise = scale.ndim == 2 and scale.shape[-1] > 1
+            if groupwise:
+                # [.., E] → [.., G, g]: per-group qparams broadcast on
+                # the trailing group axis
                 g = weight.block_size[-1]
                 out = q_rows.astype(jnp.float32).reshape(
                     *q_rows.shape[:-1], -1, g
                 )
                 s_rows = scale[ids][..., None].astype(jnp.float32)
+                z_rows = (
+                    zp[ids][..., None].astype(jnp.float32)
+                    if zp is not None else None
+                )
+            else:
+                # per-row qparams ([V] or [V, 1])
+                out = q_rows.astype(jnp.float32)
+                s_rows = scale[ids]
+                while s_rows.ndim < out.ndim:
+                    s_rows = s_rows[..., None]
+                s_rows = s_rows.astype(jnp.float32)
+                z_rows = None
                 if zp is not None:
-                    z_rows = zp[ids][..., None].astype(jnp.float32)
-                    out = out - z_rows
-                out = (out * s_rows).reshape(q_rows.shape)
+                    z_rows = zp[ids]
+                    while z_rows.ndim < out.ndim:
+                        z_rows = z_rows[..., None]
+                    z_rows = z_rows.astype(jnp.float32)
+            if z_rows is not None:
+                if weight.zero_point_domain is ZeroPointDomain.INT:
+                    out = (out - z_rows) * s_rows
+                else:  # FLOAT domain: dq = (q − mid)·s + z
+                    mid = (weight.quant_max + weight.quant_min + 1) / 2
+                    out = (out - mid) * s_rows + z_rows
+            else:
+                out = out * s_rows
+            if groupwise:
+                out = out.reshape(q_rows.shape)
             return out.astype(weight.dtype)
     # generic fallback: dequantize whole table (correct, memory-heavy)
     return weight.dequantize()[ids]

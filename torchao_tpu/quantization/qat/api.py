@@ -94,8 +94,26 @@ def _derive_fq_configs(base: AOBaseConfig):
         Int8DynamicActivationInt4WeightConfig,
         Int8DynamicActivationInt8WeightConfig,
         Int8WeightOnlyConfig,
+        IntxWeightOnlyConfig,
+        PerGroup,
     )
-    from torchao_tpu.quantization.quant_primitives import ZeroPointDomain
+    from torchao_tpu.quantization.quant_primitives import (
+        MappingType,
+        ZeroPointDomain,
+    )
+
+    if isinstance(base, IntxWeightOnlyConfig):
+        # the embedding-table QAT base (reference qat/embedding.py
+        # convert path targets IntxWeightOnlyConfig numerics)
+        g = (
+            base.granularity.group_size
+            if isinstance(base.granularity, PerGroup) else None
+        )
+        return None, IntxFakeQuantizeConfig(
+            dtype=base.weight_dtype,
+            group_size=g,
+            is_symmetric=base.mapping_type is MappingType.SYMMETRIC,
+        )
 
     if isinstance(base, Int4WeightOnlyConfig):
         return None, IntxFakeQuantizeConfig(
