@@ -36,8 +36,14 @@ class SemiSparseWeightConfig(AOBaseConfig):
 
 @dataclasses.dataclass
 class BlockSparseWeightConfig(AOBaseConfig):
+    """``compressed=False`` only zeroes pruned tiles (mask semantics);
+    ``compressed=True`` converts to a BSR ``BlockSparseArray`` whose
+    matmul reads and computes only the surviving blocks (the analog of
+    the reference's ``BlockSparseTensor`` conversion)."""
+
     blocksize: int = 64
     target_sparsity: float = 0.9
+    compressed: bool = False
     version: int = 1
 
 
@@ -66,6 +72,12 @@ def _block_sparse_transform(w, config: BlockSparseWeightConfig):
     N, K = w.shape[-2], w.shape[-1]
     if N % bs or K % bs:
         return w
+    if config.compressed and w.ndim == 2:
+        from torchao_tpu.sparsity.blocksparse import from_dense
+
+        return from_dense(
+            w, blocksize=bs, target_sparsity=config.target_sparsity
+        )
     blocks = w.reshape(*w.shape[:-2], N // bs, bs, K // bs, bs)
     norms = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=(-3, -1))
     flat = norms.reshape(*norms.shape[:-2], -1)
