@@ -115,3 +115,99 @@ def test_quantized_engine_runs(setup):
     eng.add_request(Request(prompt=prompt, max_new_tokens=4))
     done = eng.run_to_completion()
     np.testing.assert_array_equal(np.asarray(done[0].output), ref)
+
+
+# ---------------------------------------------------------------------------
+# multi-replica cluster (serving/runner.py)
+# ---------------------------------------------------------------------------
+
+
+def _mk_engine(model, params):
+    return ServingEngine(model, params, max_slots=2, max_seq_len=32)
+
+
+def test_cluster_outputs_match_single_engine(setup):
+    from torchao_tpu.serving import ServingCluster
+
+    model, params = setup
+    rs = np.random.RandomState(20)
+    prompts = [rs.randint(0, 512, 5 + i).astype(np.int32)
+               for i in range(4)]
+    refs = [_reference_greedy(model, params, p, 6) for p in prompts]
+
+    cluster = ServingCluster(
+        [_mk_engine(model, params), _mk_engine(model, params)]
+    )
+    cids = [cluster.submit(Request(prompt=p, max_new_tokens=6))
+            for p in prompts]
+    done = cluster.run_to_completion(n=4)
+    assert len(done) == 4
+    for cid, ref in zip(cids, refs):
+        np.testing.assert_array_equal(np.asarray(done[cid].output), ref)
+    # both replicas actually served work (least-loaded routing)
+    assign = set(cluster._assignment.values())
+    assert assign == {0, 1}
+
+
+def test_cluster_failover_requeues_inflight(setup):
+    from torchao_tpu.serving import ServingCluster
+
+    model, params = setup
+    rs = np.random.RandomState(21)
+    prompts = [rs.randint(0, 512, 6).astype(np.int32) for _ in range(3)]
+    refs = [_reference_greedy(model, params, p, 8) for p in prompts]
+
+    cluster = ServingCluster(
+        [_mk_engine(model, params), _mk_engine(model, params)]
+    )
+    cids = [cluster.submit(Request(prompt=p, max_new_tokens=8))
+            for p in prompts]
+    # partial progress, then kill replica 0 mid-flight
+    cluster.step(n=2)
+    victims = [cid for cid, idx in cluster._assignment.items()
+               if idx == 0 and cid not in cluster.completed]
+    cluster.mark_unhealthy(0, "injected fault")
+    assert not cluster.replicas[0].healthy
+    done = cluster.run_to_completion(n=4)
+    assert len(done) == 3
+    # all requests (including the victims) finish with the exact greedy
+    # output — failover replays from the prompt, discarding partials
+    for cid, ref in zip(cids, refs):
+        np.testing.assert_array_equal(np.asarray(done[cid].output), ref)
+    if victims:
+        assert all(cluster._assignment[cid] == 1 for cid in victims)
+
+
+def test_cluster_step_exception_demotes(setup):
+    from torchao_tpu.serving import ServingCluster
+
+    model, params = setup
+    rs = np.random.RandomState(22)
+    prompt = rs.randint(0, 512, 5).astype(np.int32)
+    ref = _reference_greedy(model, params, prompt, 5)
+
+    bad = _mk_engine(model, params)
+    good = _mk_engine(model, params)
+
+    def boom(n):
+        raise RuntimeError("injected device loss")
+
+    bad.step_n = boom
+    cluster = ServingCluster([bad, good])
+    cid = cluster.submit(Request(prompt=prompt, max_new_tokens=5))
+    done = cluster.run_to_completion(n=4)
+    assert not cluster.replicas[0].healthy
+    assert cluster.replicas[1].healthy
+    np.testing.assert_array_equal(np.asarray(done[cid].output), ref)
+
+
+def test_cluster_no_healthy_raises(setup):
+    from torchao_tpu.serving import ServingCluster
+
+    model, params = setup
+    cluster = ServingCluster([_mk_engine(model, params)])
+    cluster.mark_unhealthy(0)
+    with pytest.raises(RuntimeError, match="no healthy"):
+        cluster.submit(Request(
+            prompt=np.arange(4, dtype=np.int32), max_new_tokens=2
+        ))

@@ -58,10 +58,17 @@ def _kernel(
     # convert and one multiply remain on the VPU.
     bkp = wp_ref.shape[0]
     bg = s_lo_ref.shape[0]
-    # bit-ops stay in uint8 (4× lane density vs widening to i32 first)
+    # Nibble unpack without i32 widening (4× lane density) and without
+    # shifts (Mosaic legalizes shifts only at i32; u8→bf16 casts don't
+    # exist, but u8→i8 and i16→bf16 do):
+    #   lo = w & 0xF              (u8 AND, then i8→bf16 cast)
+    #   hi = (w − lo) · 2⁻⁴       (two bf16 VPU ops — exact: integers
+    #                              ≤255 and multiples of 16 are exact
+    #                              in bf16's 8-bit mantissa)
     wp = wp_ref[:]
-    lo = (wp & jnp.uint8(0xF)).astype(jnp.bfloat16)
-    hi = (wp >> jnp.uint8(4)).astype(jnp.bfloat16)  # u8 → already 0..15
+    lo = (wp & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
+    w_f = wp.astype(jnp.int16).astype(jnp.bfloat16)
+    hi = (w_f - lo) * jnp.bfloat16(0.0625)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 1)
