@@ -171,10 +171,23 @@ def main():
     )
     init_s = time.time() - t0
 
-    res = benchmark_decode(
-        model, params,
-        batch_size=batch, prompt_len=prompt_len, num_tokens=num_tokens,
-    )
+    pallas_fallback = False
+    try:
+        res = benchmark_decode(
+            model, params,
+            batch_size=batch, prompt_len=prompt_len, num_tokens=num_tokens,
+        )
+    except Exception as e:
+        # Mosaic/driver variance must never zero the headline: retry the
+        # same benchmark through the pure-XLA paths.
+        sys.stderr.write(f"Pallas path failed ({e}); XLA fallback\n")
+        os.environ["TORCHAO_TPU_DISABLE_PALLAS_INT4"] = "1"
+        os.environ["TORCHAO_TPU_DISABLE_PALLAS_ATTN"] = "1"
+        pallas_fallback = True
+        res = benchmark_decode(
+            model, params,
+            batch_size=batch, prompt_len=prompt_len, num_tokens=num_tokens,
+        )
     value = res["tokens_per_s"]
 
     # bandwidth accounting: this platform is a virtualized v5e slice whose
@@ -199,6 +212,7 @@ def main():
                 "model_size_GB": round(res["model_size_GB"], 3),
                 "init_s": round(init_s, 1),
                 "backend": jax.default_backend(),
+                "pallas_fallback": pallas_fallback,
             }
         )
     )

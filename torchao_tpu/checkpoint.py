@@ -162,7 +162,11 @@ def save_quantized(params, directory: str):
         json.dump(spec, f)
 
 
-def load_quantized(directory: str):
+def load_quantized(directory: str, sharding_fn=None):
+    """``sharding_fn(path, arr_meta) -> jax.sharding.Sharding | None``:
+    when given, each array leaf is restored directly onto its target
+    devices (orbax sharded restore — no host-memory staging of the full
+    pod-scale tree)."""
     import orbax.checkpoint as ocp
 
     if not _QARRAY_CLASSES:
@@ -171,5 +175,74 @@ def load_quantized(directory: str):
     with open(os.path.join(directory, "structure.json")) as f:
         spec = json.load(f)
     ckptr = ocp.PyTreeCheckpointer()
-    arrays = ckptr.restore(os.path.join(directory, "arrays"))
+    path = os.path.join(directory, "arrays")
+    if sharding_fn is None:
+        arrays = ckptr.restore(path)
+    else:
+        import jax
+
+        meta = ckptr.metadata(path)
+        item_meta = getattr(meta, "item_metadata", None) or getattr(
+            meta, "tree", meta
+        )
+        restore_args = {
+            k: ocp.ArrayRestoreArgs(sharding=sharding_fn(k, m))
+            if sharding_fn(k, m) is not None
+            else ocp.RestoreArgs()
+            for k, m in dict(item_meta).items()
+        }
+        arrays = ckptr.restore(
+            path, restore_args=restore_args
+        )
     return _rebuild(spec, arrays)
+
+
+# ---------------------------------------------------------------------------
+# async checkpointing (training-loop overlap)
+# ---------------------------------------------------------------------------
+
+
+class AsyncCheckpointer:
+    """Non-blocking saves for the training loop: device→host transfer
+    happens at ``save()`` (cheap), serialization runs on a background
+    thread while the next step computes (orbax ``AsyncCheckpointer``
+    design; new infrastructure — the reference defers to
+    ``torch.save``). ``wait()`` joins the in-flight write;
+    at most one write is in flight — a second ``save`` joins the first.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._thread = None
+        self._threading = threading
+        self._error = None
+
+    def save(self, params, directory: str):
+        import jax
+
+        self.wait()
+        # snapshot now (device-side copy) so the training loop can
+        # donate/mutate its buffers while the write is in flight
+        host = jax.tree_util.tree_map(
+            lambda l: jax.numpy.array(l, copy=True)
+            if hasattr(l, "dtype") and hasattr(l, "ndim") else l,
+            params,
+        )
+
+        def work():
+            try:
+                save_quantized(host, directory)
+            except Exception as e:  # surfaced on wait()
+                self._error = e
+
+        self._thread = self._threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
