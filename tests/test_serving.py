@@ -211,3 +211,52 @@ def test_cluster_no_healthy_raises(setup):
         cluster.submit(Request(
             prompt=np.arange(4, dtype=np.int32), max_new_tokens=2
         ))
+
+
+def test_admission_near_capacity_no_corruption(setup):
+    """Regression: chunk passes must shrink so no live lane's cache
+    write gets clamped (dynamic_update_slice clamps OOB starts). A slot
+    decoding near S admits a neighbor with a long prompt — its output
+    must stay exactly the offline greedy sequence."""
+    model, params = setup
+    rs = np.random.RandomState(30)
+    long_new = 20
+    p_a = rs.randint(0, 512, 8).astype(np.int32)
+    ref_a = _reference_greedy(model, params, p_a, long_new)
+    p_b = rs.randint(0, 512, 17).astype(np.int32)   # forces 16-chunk pass
+    ref_b = _reference_greedy(model, params, p_b, 4)
+
+    eng = ServingEngine(model, params, max_slots=2, max_seq_len=32,
+                        prefill_chunk=16)
+    eng.add_request(Request(prompt=p_a, max_new_tokens=long_new))
+    # drive slot 0 close to S: pos reaches 8 + 18 = 26 > 32 - 16
+    for _ in range(18):
+        eng.step()
+    eng.add_request(Request(prompt=p_b, max_new_tokens=4))
+    done = eng.run_to_completion()
+    assert len(done) == 2
+    outs = {tuple(r.prompt.tolist()): r.output for r in done}
+    np.testing.assert_array_equal(
+        np.asarray(outs[tuple(p_a.tolist())]), ref_a)
+    np.testing.assert_array_equal(
+        np.asarray(outs[tuple(p_b.tolist())]), ref_b)
+
+
+def test_batched_admission_parity(setup):
+    """Several requests admitted in the same _admit call (batched
+    multi-slot prefill) must all match offline greedy outputs."""
+    model, params = setup
+    rs = np.random.RandomState(31)
+    prompts = [rs.randint(0, 512, n).astype(np.int32)
+               for n in (3, 9, 14, 6)]
+    refs = [_reference_greedy(model, params, p, 5) for p in prompts]
+    eng = ServingEngine(model, params, max_slots=4, max_seq_len=32,
+                        prefill_chunk=8)
+    for p in prompts:
+        eng.add_request(Request(prompt=p, max_new_tokens=5))
+    done = eng.run_to_completion(chunk=4)
+    assert len(done) == 4
+    outs = {tuple(r.prompt.tolist()): r.output for r in done}
+    for p, ref in zip(prompts, refs):
+        np.testing.assert_array_equal(
+            np.asarray(outs[tuple(p.tolist())]), ref)

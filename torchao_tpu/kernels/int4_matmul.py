@@ -107,8 +107,8 @@ def int4_dq_matmul(
     group_size: int,
     mid: float = 8.0,
     bm: Optional[int] = None,
-    bn: int = 512,
-    bkp: int = 512,
+    bn: int = 1024,
+    bkp: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n])."""

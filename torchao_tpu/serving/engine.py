@@ -18,7 +18,7 @@ import dataclasses
 import functools
 import itertools
 from collections import deque
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,47 +121,81 @@ class ServingEngine:
         return req.request_id
 
     def _admit(self):
-        """Fill free slots from the queue by chunked prefill."""
+        """Fill free slots from the queue by *batched* chunked prefill:
+        every admitting slot's lane carries its own prompt chunk in the
+        same pass, so K admissions cost ``ceil(max_len/chunk)+1`` passes
+        instead of K separate prefills.
+
+        Dummy-token safety (both for non-admitting slots and for lane
+        padding past a short prompt): garbage k/v is only ever written
+        at positions ≥ a slot's current write cursor; the causal mask
+        keeps those positions unread until the sequential real writes
+        (final prompt token, then decode steps) overwrite them.
+        """
+        newly: Dict[int, Tuple[Request, np.ndarray]] = {}
         for slot in range(self.B):
             if slot in self.active or not self.queue:
                 continue
             req = self.queue.popleft()
             prompt = np.asarray(req.prompt, np.int32)
             assert len(prompt) + req.max_new_tokens <= self.S, "too long"
-            # chunked prefill into this slot; other slots get dummy
-            # re-reads at their current positions — mask keeps their
-            # attention causal, and their cache rows are overwritten with
-            # identical values (positions unchanged => harmless rewrite
-            # of the same k/v)
-            # chunked prefill in pow2 buckets (bounded program count),
-            # then one exact 1-token pass over the final prompt token so
-            # logits[:, -1] is the true next-token prediction
-            pos = 0
-            chunk = self.prefill_chunk
-            while pos < len(prompt) - 1:
-                n = min(chunk, len(prompt) - 1 - pos)
-                n_pad = min(1 << (n - 1).bit_length(), chunk)
-                toks = np.zeros((self.B, n_pad), np.int32)
-                toks[slot, :n] = prompt[pos : pos + n]
-                pos_vec = self.slot_pos.copy()
-                pos_vec[slot] = pos
-                _, self.cache = self._prefill(
-                    self.params, jnp.asarray(toks), self.cache,
-                    jnp.asarray(pos_vec),
-                )
-                pos += n
-            toks = np.zeros((self.B, 1), np.int32)
-            toks[slot, 0] = prompt[-1]
+            newly[slot] = (req, prompt)
+        if not newly:
+            return
+        chunk = self.prefill_chunk
+        cursors = {s: 0 for s in newly}
+
+        def remaining(s):
+            return len(newly[s][1]) - 1 - cursors[s]
+
+        # chunk passes in pow2 buckets (bounded program count)
+        while any(remaining(s) > 0 for s in newly):
+            n_max = max(min(chunk, remaining(s)) for s in newly)
+            n_max = max(n_max, 1)
+            n_pad = min(1 << (n_max - 1).bit_length(), chunk)
+            # dynamic_update_slice CLAMPS out-of-range write starts — a
+            # lane whose start + n_pad exceeds S would silently overwrite
+            # its own history. Shrink the pass so every lane's write fits.
+            starts = [
+                cursors[s] if remaining(s) > 0 else len(newly[s][1]) - 1
+                for s in newly
+            ]
+            starts += [int(self.slot_pos[s]) for s in self.active]
+            allowed = self.S - max(starts)
+            assert allowed >= 1, (self.S, starts)
+            while n_pad > allowed:
+                n_pad //= 2
+            toks = np.zeros((self.B, n_pad), np.int32)
             pos_vec = self.slot_pos.copy()
-            pos_vec[slot] = len(prompt) - 1
-            nxt, self.cache = self._prefill(
+            for s, (_, p) in newly.items():
+                n = min(n_pad, remaining(s))
+                if n > 0:
+                    toks[s, :n] = p[cursors[s] : cursors[s] + n]
+                    pos_vec[s] = cursors[s]
+                    cursors[s] += n
+                else:  # exhausted lane idles at its next write position
+                    pos_vec[s] = len(p) - 1
+            _, self.cache = self._prefill(
                 self.params, jnp.asarray(toks), self.cache,
                 jnp.asarray(pos_vec),
             )
-            self.slot_token[slot] = int(nxt[slot])
-            self.slot_pos[slot] = len(prompt)
-            self.slot_remaining[slot] = req.max_new_tokens
-            self.active[slot] = req
+        # one exact 1-token pass over every final prompt token: each
+        # admitting lane's logits[-1] is its true next-token prediction
+        toks = np.zeros((self.B, 1), np.int32)
+        pos_vec = self.slot_pos.copy()
+        for s, (_, p) in newly.items():
+            toks[s, 0] = p[-1]
+            pos_vec[s] = len(p) - 1
+        nxt, self.cache = self._prefill(
+            self.params, jnp.asarray(toks), self.cache,
+            jnp.asarray(pos_vec),
+        )
+        nxt_np = np.asarray(nxt)
+        for s, (req, p) in newly.items():
+            self.slot_token[s] = int(nxt_np[s])
+            self.slot_pos[s] = len(p)
+            self.slot_remaining[s] = req.max_new_tokens
+            self.active[s] = req
 
     def step(self) -> Dict[int, int]:
         """One engine iteration: admit, one joint decode step, emit.
