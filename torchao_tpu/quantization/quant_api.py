@@ -216,10 +216,19 @@ class ModuleFqnToConfig(AOBaseConfig):
 int4_weight_only = Int4WeightOnlyConfig
 int8_weight_only = Int8WeightOnlyConfig
 int8_dynamic_activation_int8_weight = Int8DynamicActivationInt8WeightConfig
+int8_dynamic_activation_int4_weight = Int8DynamicActivationInt4WeightConfig
+int4_dynamic_activation_int4_weight = Int4DynamicActivationInt4WeightConfig
+uintx_weight_only = UIntXWeightOnlyConfig
+fpx_weight_only = FPXWeightOnlyConfig
 float8_weight_only = Float8WeightOnlyConfig
 float8_dynamic_activation_float8_weight = (
     Float8DynamicActivationFloat8WeightConfig
 )
+float8_static_activation_float8_weight = (
+    Float8StaticActivationFloat8WeightConfig
+)
+# reference `AOPerModuleConfig` is the old name of ModuleFqnToConfig
+AOPerModuleConfig = ModuleFqnToConfig
 
 
 # ---------------------------------------------------------------------------

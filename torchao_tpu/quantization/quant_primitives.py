@@ -83,6 +83,22 @@ class ZeroPointDomain(enum.Enum):
 # dtype handling
 # ---------------------------------------------------------------------------
 
+
+class TorchAODType(enum.Enum):
+    """Placeholder dtype names for sub-byte ints (reference
+    ``quant_primitives.py:91`` — torch lacks int1-7 dtypes; jnp mostly
+    does too, so the canonical representation here is the string name,
+    and this enum exists for API compatibility)."""
+
+    INT1 = "int1"
+    INT2 = "int2"
+    INT3 = "int3"
+    INT4 = "int4"
+    INT5 = "int5"
+    INT6 = "int6"
+    INT7 = "int7"
+
+
 # Sub-byte and standard integer quantization targets. Keys are canonical
 # string names; jnp dtypes are accepted and canonicalized. Mirrors the
 # reference's ``_DTYPE_TO_QVALUE_BOUNDS`` (torch.uint1-7/int1-8 union).
