@@ -1,0 +1,120 @@
+"""Continuous-batching serving throughput benchmark.
+
+Measures aggregate decode tok/s of the ServingEngine on Llama
+(default: Llama-3-8B int4wo-g32, int8-KV cache) with staggered request
+arrivals — the serving-path counterpart of bench.py's single-stream
+number. Prints one JSON line per configuration.
+
+Usage:
+  python benchmarks/serving_bench.py [--model Llama-3-8B] [--slots 4]
+      [--requests 8] [--new-tokens 64] [--chunk 16] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchao_tpu.models.llama.model import (
+    ModelArgs,
+    Transformer,
+    default_linear_filter,
+)
+from torchao_tpu.serving import Request, ServingEngine
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="Llama-3-8B")
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--max-seq", type=int, default=256)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--kv-quant", action="store_true", default=True)
+    args = ap.parse_args()
+
+    if args.small:
+        margs = ModelArgs(
+            block_size=512, vocab_size=512, n_layer=2, n_head=8,
+            n_local_heads=8, dim=256, intermediate_size=512,
+        )
+        model = Transformer(margs, dtype=jnp.bfloat16)
+        from torchao_tpu.quantization.quant_api import (
+            Int4WeightOnlyConfig,
+            quantize_,
+        )
+
+        params = quantize_(
+            model.init_params(jax.random.PRNGKey(0)),
+            Int4WeightOnlyConfig(group_size=32),
+            default_linear_filter,
+        )
+    else:
+        from bench import init_quantized_llama
+        from torchao_tpu.quantization.quant_api import Int4WeightOnlyConfig
+
+        margs = ModelArgs.from_name(args.model)
+        margs.block_size = min(margs.block_size, 4096)
+        model = Transformer(margs, dtype=jnp.bfloat16)
+        params = init_quantized_llama(
+            model, Int4WeightOnlyConfig(group_size=32),
+            default_linear_filter, jax.random.PRNGKey(0),
+        )
+
+    eng = ServingEngine(
+        model, params, max_slots=args.slots, max_seq_len=args.max_seq,
+        kv_cache_quantization=args.kv_quant,
+    )
+    rs = np.random.RandomState(0)
+    reqs = [
+        Request(
+            prompt=rs.randint(0, margs.vocab_size,
+                              args.prompt_len).astype(np.int32),
+            max_new_tokens=args.new_tokens,
+        )
+        for _ in range(args.requests)
+    ]
+    # warm the programs (compile) with one request
+    eng.add_request(Request(
+        prompt=reqs[0].prompt.copy(), max_new_tokens=4
+    ))
+    eng.run_to_completion(chunk=args.chunk)
+    eng.completed.clear()
+
+    t0 = time.perf_counter()
+    for r in reqs:
+        eng.add_request(r)
+    eng.run_to_completion(chunk=args.chunk)
+    dt = time.perf_counter() - t0
+    total = sum(len(r.output) for r in eng.completed)
+    print(json.dumps({
+        "metric": "serving_aggregate_tok_s",
+        "model": "tiny" if args.small else args.model,
+        "slots": args.slots,
+        "requests": args.requests,
+        "new_tokens": args.new_tokens,
+        "chunk": args.chunk,
+        "kv_quant": bool(args.kv_quant),
+        "total_tokens": total,
+        "wall_s": round(dt, 2),
+        "value": round(total / dt, 2),
+        "unit": "tok/s",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

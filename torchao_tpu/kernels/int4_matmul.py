@@ -118,22 +118,27 @@ def int4_dq_matmul(
     g_eff = min(group_size, Kp)
     assert Kp % g_eff == 0, (Kp, g_eff)
 
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     # bkp must divide Kp (whole-block offsets for the hi half), be a
-    # multiple of group_size, and give scale blocks with >=8 sublanes
+    # multiple of group_size, and — in compiled mode — give scale blocks
+    # with ≥8 sublane rows: Mosaic requires block rows divisible by 8
+    # (or equal to the full array, impossible here since lo/hi each read
+    # half the rows), so the compiled kernel needs 8·g | Kp (the
+    # dispatch gate enforces this; interpret mode has no such rule).
+    row_mult = 1 if interpret else 8
+    assert g_eff <= Kp and Kp % (row_mult * g_eff) == 0, (Kp, g_eff)
     bkp = min(bkp, Kp)
     bkp = math.gcd(bkp, Kp)
-    bkp = max(bkp, min(8 * g_eff, Kp))
-    if bkp % g_eff != 0 or Kp % bkp != 0:
-        bkp = Kp
+    if bkp % (row_mult * g_eff) != 0:
+        bkp = row_mult * g_eff  # divides Kp by the assert above
     bg = bkp // g_eff
-    assert (bg % 8 == 0) or (bg == Kp // g_eff), (bg, Kp, g_eff)
+    assert bg % row_mult == 0 and Kp % bkp == 0, (bg, Kp, bkp)
 
     bn = min(bn, N)
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)
     bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
 
-    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
@@ -210,7 +215,9 @@ def int4_dq_matmul_available(x, w):
     N, K = w.shape
     group_size = w.block_size[-1]
     Kp = K // 2
-    if group_size < Kp and Kp % group_size != 0:
+    # the kernel needs whole groups inside each packed half AND scale
+    # blocks of ≥8 sublane rows per half (Mosaic 8-row rule) → 8·g | Kp
+    if group_size > Kp or Kp % (8 * group_size) != 0:
         return None
     if Kp % 128 != 0 or N % 128 != 0:
         return None
