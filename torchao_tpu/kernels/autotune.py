@@ -103,10 +103,13 @@ def lookup_or_tune(
 
 
 def int4_matmul_candidates(M: int, N: int, K: int, g: int):
-    """Candidate (bm, bn, bkp) blocks for the int4 dequant-matmul."""
+    """Candidate (bn, bkp) blocks for the int4 dequant-matmul. An
+    on-device sweep at the Llama-3-8B decode shape (PERF.md) ranked
+    bn=bkp=1024 and bn=4096/bkp=512 ~12% over the old 512/512 default;
+    the grid spans that neighborhood."""
     out = []
-    for bn in (256, 512, 1024):
+    for bn in (256, 512, 1024, 2048, 4096):
         for bkp in (256, 512, 1024):
-            if bkp % g == 0 or g >= bkp:
+            if bkp % (8 * g) == 0:  # Mosaic scale-block rule (see kernel)
                 out.append({"bn": min(bn, N), "bkp": bkp})
     return out
