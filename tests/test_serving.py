@@ -260,3 +260,25 @@ def test_batched_admission_parity(setup):
     for p, ref in zip(prompts, refs):
         np.testing.assert_array_equal(
             np.asarray(outs[tuple(p.tolist())]), ref)
+
+
+def test_cluster_heartbeat_wiring(setup):
+    """HeartbeatMonitor.on_failure → cluster demotion path."""
+    from torchao_tpu.parallel.multihost import HeartbeatMonitor
+    from torchao_tpu.serving import ServingCluster
+
+    model, params = setup
+    cluster = ServingCluster(
+        [_mk_engine(model, params), _mk_engine(model, params)]
+    )
+    mon = HeartbeatMonitor(
+        interval_s=0.05, timeout_s=10.0,
+        on_failure=cluster.heartbeat_callback(1),
+    )
+    # single-process heartbeat is healthy: replica must stay up
+    assert mon._beat_once()
+    assert cluster.replicas[1].healthy
+    # simulate a failed beat firing the callback
+    mon.on_failure("simulated partition")
+    assert not cluster.replicas[1].healthy
+    assert cluster.healthy_replicas() == [0]
