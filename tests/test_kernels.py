@@ -237,3 +237,107 @@ class TestAutotune:
             "k", (1, 2), [{"bn": 1}], lambda c: jnp.zeros(1)
         )
         assert out is None
+
+
+class TestW4A8Matmul:
+    def _operands(self, rs, M, N, K, g):
+        from torchao_tpu.qtypes.packing import pack_int4
+
+        q = rs.randint(-8, 8, (N, K)).astype(np.int8)
+        nib = (q + 8).astype(np.uint8)
+        wp = jnp.asarray(
+            np.asarray(pack_int4(jnp.asarray(nib), axis=-1)).T
+        )  # [K/2, N] K-major
+        ws = jnp.asarray(
+            (rs.rand(K // g, N) * 0.05 + 0.01).astype(np.float32)
+        )
+        x_q = jnp.asarray(rs.randint(-127, 128, (M, K)), jnp.int8)
+        x_s = jnp.asarray(rs.rand(M).astype(np.float32) * 0.02 + 0.001)
+        return x_q, x_s, wp, ws
+
+    @pytest.mark.parametrize("M,g", [(1, 32), (8, 32), (16, 64)])
+    def test_matches_reference(self, M, g):
+        from torchao_tpu.kernels.w4a8_matmul import (
+            w4a8_dq_matmul,
+            w4a8_dq_matmul_reference,
+        )
+
+        rs = np.random.RandomState(0)
+        N, K = 256, 512
+        x_q, x_s, wp, ws = self._operands(rs, M, N, K, g)
+        ref = w4a8_dq_matmul_reference(
+            x_q, x_s, wp, ws, group_size=g, out_dtype=jnp.float32
+        )
+        out = w4a8_dq_matmul(
+            x_q, x_s, wp, ws, group_size=g, out_dtype=jnp.float32,
+            bn=128, interpret=True,
+        )
+        # integer-exact partials + f32 scale math: near machine parity
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_8da4w_config_takes_tiled_layout(self):
+        from torchao_tpu.qtypes.base import PackingFormat
+        from torchao_tpu.qtypes.composition import (
+            LinearActivationQuantizedArray,
+        )
+        from torchao_tpu.quantization.quant_api import (
+            Int8DynamicActivationInt4WeightConfig,
+            quantize_,
+        )
+        from torchao_tpu.utils import compute_error
+
+        rs = np.random.RandomState(1)
+        w = jnp.asarray(rs.randn(128, 512) * 0.1, jnp.bfloat16)
+        qw = quantize_(
+            {"w": w}, Int8DynamicActivationInt4WeightConfig(group_size=32),
+            filter_fn=lambda p, l: True,
+        )["w"]
+        assert isinstance(qw, LinearActivationQuantizedArray)
+        inner = qw.original_weight
+        assert inner.packing_format is PackingFormat.TILED_NIBBLES
+        assert inner.zero_point is None
+        # dequant numerics unchanged vs the PLAIN layout
+        x = jnp.asarray(rs.randn(4, 512), jnp.bfloat16)
+        from torchao_tpu import ops
+
+        out = ops.linear(x, qw)
+        ref = jnp.matmul(x, w.T)
+        assert compute_error(ref, out) > 18
+
+    def test_kernel_vs_laqt_path(self):
+        """The fused kernel must match the QDQ laqt path bit-for-bit in
+        the int32 partial domain (same act quant, same weight grid)."""
+        from torchao_tpu.kernels.w4a8_matmul import (
+            w4a8_dq_matmul,
+            w4a8_dq_matmul_available,
+        )
+        from torchao_tpu.quantization.quant_api import (
+            Int8DynamicActivationInt4WeightConfig,
+            quantize_,
+        )
+        from torchao_tpu.quantization.quant_primitives import (
+            quantize_activation_per_token_absmax,
+        )
+        from torchao_tpu.utils import compute_error
+
+        rs = np.random.RandomState(2)
+        w = jnp.asarray(rs.randn(128, 512) * 0.1, jnp.float32)
+        qw = quantize_(
+            {"w": w}, Int8DynamicActivationInt4WeightConfig(group_size=32),
+            filter_fn=lambda p, l: True,
+        )["w"]
+        inner = qw.original_weight
+        impl = w4a8_dq_matmul_available(inner)
+        assert impl is not None
+        x = jnp.asarray(rs.randn(4, 512), jnp.float32)
+        x_q, x_s = quantize_activation_per_token_absmax(x)
+        out = w4a8_dq_matmul(
+            x_q, x_s, inner.qdata, inner.scale, group_size=32,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        # laqt QDQ path on the same quantized operands
+        x_dq = x_q.astype(jnp.float32) * x_s[:, None]
+        ref = x_dq @ inner.dequantize(jnp.float32).T
+        assert compute_error(ref, out) > 45

@@ -375,6 +375,33 @@ register_qlinear_dispatch(
     _check_int8_dyn_act_int8_weight,
     _impl_int8_dyn_act_int8_weight,
 )
+
+
+def _check_w4a8(x, w, bias):
+    """8da4w fused path (reference s8s4 CUTLASS analog): symmetric
+    per-token int8 act × TILED_NIBBLES int4 weight on TPU."""
+    from torchao_tpu.kernels.w4a8_matmul import w4a8_dq_matmul_available
+
+    return (
+        isinstance(w, LinearActivationQuantizedArray)
+        and w.input_quant_name == "int8_per_token_sym"
+        and _on_tpu()
+        and w4a8_dq_matmul_available(w.original_weight) is not None
+    )
+
+
+def _impl_w4a8(x, w, bias, preference):
+    from torchao_tpu.kernels.w4a8_matmul import w4a8_dq_matmul_available
+
+    if not _use_pallas(preference):
+        return _impl_laqt_generic(x, w, bias, preference)
+    q, scale = w.quantize_input(x)
+    impl = w4a8_dq_matmul_available(w.original_weight)
+    out = impl(q, scale, w.original_weight, x.dtype)
+    return out + bias if bias is not None else out
+
+
+register_qlinear_dispatch("w4a8_int4_weight", _check_w4a8, _impl_w4a8)
 register_qlinear_dispatch(
     "laqt_generic", _check_laqt_generic, _impl_laqt_generic
 )

@@ -348,14 +348,39 @@ def _int8_dyn_act_int4_weight_transform(
     if w.shape[-1] % group_size != 0:
         return w
     block_size = tuple([1] * (w.ndim - 1) + [group_size])
-    inner = IntxArray.from_hp(
-        w,
-        config.mapping_type,
-        block_size,
-        "int4",
-        quant_min=-8,
-        quant_max=7,
+    # symmetric weights with MXU-friendly shapes take the K-major
+    # TILED_NIBBLES layout (NONE zero-point domain — zp is 0 by
+    # construction) so the fused W4A8 Pallas kernel
+    # (kernels/w4a8_matmul.py, the s8s4-CUTLASS analog) can dispatch;
+    # other cases keep the PLAIN int8-storage layout.
+    Kp = w.shape[-1] // 2
+    tiled = (
+        config.mapping_type is MappingType.SYMMETRIC
+        and w.ndim == 2
+        and w.shape[-1] % 2 == 0
+        and Kp % max(8 * group_size, 128) == 0
+        and w.shape[0] % 128 == 0
     )
+    if tiled:
+        inner = IntxArray.from_hp(
+            w,
+            config.mapping_type,
+            block_size,
+            "int4",
+            quant_min=-8,
+            quant_max=7,
+            zero_point_domain=ZeroPointDomain.NONE,
+            packing_format=PackingFormat.TILED_NIBBLES,
+        )
+    else:
+        inner = IntxArray.from_hp(
+            w,
+            config.mapping_type,
+            block_size,
+            "int4",
+            quant_min=-8,
+            quant_max=7,
+        )
     act = (
         "int8_per_token_asym"
         if config.act_mapping_type is MappingType.ASYMMETRIC
