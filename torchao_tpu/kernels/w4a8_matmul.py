@@ -115,7 +115,7 @@ def w4a8_dq_matmul(
     out_dtype=jnp.bfloat16,
     bm: Optional[int] = None,
     bn: int = 1024,
-    bkp: int = 1024,
+    bkp: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[m,n] = xs[m]·Σ_k xq[m,k]·(nib[n,k] − 8)·ws[k//g, n]."""
@@ -127,6 +127,11 @@ def w4a8_dq_matmul(
     row_mult = 1 if interpret else 8
     assert g <= Kp and Kp % (row_mult * g) == 0, (Kp, g)
 
+    if bkp is None:
+        # 8 groups per body: the kernel statically unrolls bkp/g group
+        # sub-matmuls, so large bkp inflates the program; 8 is the
+        # Mosaic scale-row minimum and keeps the unroll tight.
+        bkp = 8 * g
     bkp = min(bkp, Kp)
     bkp = math.gcd(bkp, Kp)
     if bkp % (row_mult * g) != 0:
