@@ -341,3 +341,21 @@ class TestW4A8Matmul:
         x_dq = x_q.astype(jnp.float32) * x_s[:, None]
         ref = x_dq @ inner.dequantize(jnp.float32).T
         assert compute_error(ref, out) > 45
+
+
+def test_int4_group_partial_variant_matches():
+    """The scale-on-partials kernel variant must match the fused one."""
+    from torchao_tpu.kernels.int4_matmul import (
+        int4_dq_matmul,
+        int4_dq_matmul_reference,
+    )
+
+    rs = np.random.RandomState(5)
+    M, N, K, g = 8, 256, 512, 32
+    x, wp, scale, zero = _make_int4_operands(rs, M, N, K, g)
+    ref = int4_dq_matmul_reference(x, wp, scale, zero, group_size=g)
+    out = int4_dq_matmul(
+        x, wp, scale, zero, group_size=g, bn=128,
+        variant="group_partial", interpret=True,
+    )
+    assert compute_error(ref, out) > 35

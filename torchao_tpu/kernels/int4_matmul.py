@@ -41,6 +41,55 @@ from torchao_tpu.quantization.quant_primitives import ZeroPointDomain
 from torchao_tpu.utils import cdiv
 
 
+def _kernel_v2(
+    x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
+    out_ref, acc_ref, *, group_size: int, n_k_blocks: int, mid: float,
+):
+    """Scale-on-partials variant: per-group bf16 sub-matmuls with the
+    scale applied to [bm, bn] f32 partials and the zero term as a
+    rank-1 rowsum update — removes the per-element q·s multiply and
+    the jnp.repeat scale expansion from the VPU (only the nibble
+    unpack casts remain per element)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = group_size
+    bkp = wp_ref.shape[0]
+    n_groups = bkp // g
+
+    wp = wp_ref[:]
+    lo = (wp & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
+    w_f = wp.astype(jnp.int16).astype(jnp.bfloat16)
+    hi = (w_f - lo) * jnp.bfloat16(0.0625)
+
+    def half(x_ref, q, s_ref, z2_ref):
+        x = x_ref[:]
+        s = s_ref[:].astype(jnp.float32)      # [n_groups, bn]
+        z2 = z2_ref[:].astype(jnp.bfloat16)   # [n_groups, bn]
+        ones = jnp.ones((g, 1), jnp.bfloat16)
+        for gi in range(n_groups):
+            xg = x[:, gi * g:(gi + 1) * g]
+            p = jnp.dot(
+                xg, q[gi * g:(gi + 1) * g, :],
+                preferred_element_type=jnp.float32,
+            )
+            rs = jnp.dot(
+                xg, ones, preferred_element_type=jnp.float32
+            )                                  # [bm, 1] = Σ x_g
+            acc_ref[:] += p * s[gi:gi + 1, :]
+            acc_ref[:] += rs * z2[gi:gi + 1, :].astype(jnp.float32)
+
+    half(x_lo_ref, lo, s_lo_ref, z_lo_ref)
+    half(x_hi_ref, hi, s_hi_ref, z_hi_ref)
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 def _kernel(
     x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
     out_ref, acc_ref, *, group_size: int, n_k_blocks: int, mid: float,
@@ -96,7 +145,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "mid", "bm", "bn", "bkp", "interpret"),
+    static_argnames=(
+        "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant"
+    ),
 )
 def int4_dq_matmul(
     x: jnp.ndarray,        # [M, K] bf16/f32
@@ -108,8 +159,9 @@ def int4_dq_matmul(
     mid: float = 8.0,
     bm: Optional[int] = None,
     bn: int = 1024,
-    bkp: int = 1024,
+    bkp: Optional[int] = None,
     interpret: bool = False,
+    variant: str = "fused",
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n])."""
     M, K = x.shape
@@ -127,6 +179,11 @@ def int4_dq_matmul(
     # dispatch gate enforces this; interpret mode has no such rule).
     row_mult = 1 if interpret else 8
     assert g_eff <= Kp and Kp % (row_mult * g_eff) == 0, (Kp, g_eff)
+    if bkp is None:
+        # group_partial statically unrolls bkp/g sub-matmuls per body —
+        # keep the unroll at the 8-group Mosaic minimum; the fused
+        # variant prefers the swept 1024 (PERF.md block sweep)
+        bkp = 8 * g_eff if variant == "group_partial" else 1024
     bkp = min(bkp, Kp)
     bkp = math.gcd(bkp, Kp)
     if bkp % (row_mult * g_eff) != 0:
@@ -142,8 +199,9 @@ def int4_dq_matmul(
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
+    kfn = _kernel_v2 if variant == "group_partial" else _kernel
     kernel = functools.partial(
-        _kernel, group_size=g_eff, n_k_blocks=nbk, mid=mid
+        kfn, group_size=g_eff, n_k_blocks=nbk, mid=mid
     )
     out = pl.pallas_call(
         kernel,
@@ -226,6 +284,9 @@ def int4_dq_matmul_available(x, w):
     def impl(x, w):
         xb = x.reshape(-1, K)
         kw = {}
+        v = os.environ.get("TORCHAO_TPU_INT4_VARIANT")
+        if v in ("fused", "group_partial"):
+            kw["variant"] = v
         from torchao_tpu.kernels.autotune import (
             int4_matmul_candidates,
             lookup_or_tune,
@@ -241,7 +302,7 @@ def int4_dq_matmul_available(x, w):
             ),
         )
         if tuned:
-            kw = tuned
+            kw = {**tuned, **kw}  # env variant override wins
         out = int4_dq_matmul(
             xb, w.qdata, w.scale, w.zero_point,
             group_size=group_size, mid=mid, **kw,
