@@ -112,4 +112,9 @@ def int4_matmul_candidates(M: int, N: int, K: int, g: int):
         for bkp in (256, 512, 1024):
             if bkp % (8 * g) == 0:  # Mosaic scale-block rule (see kernel)
                 out.append({"bn": min(bn, N), "bkp": bkp})
+    # the scale-on-partials variant with its preferred tight unroll
+    for bn in (1024, 2048, 4096):
+        out.append({
+            "bn": min(bn, N), "bkp": 8 * g, "variant": "group_partial",
+        })
     return out
