@@ -282,3 +282,26 @@ def test_cluster_heartbeat_wiring(setup):
     mon.on_failure("simulated partition")
     assert not cluster.replicas[1].healthy
     assert cluster.healthy_replicas() == [0]
+
+
+def test_moe_model_serves():
+    """MoE (Mixtral-style) models work in the engine: per-slot vector
+    positions + cache, outputs token-exact vs offline greedy."""
+    from torchao_tpu.models.mixtral import MoETransformer
+
+    model = MoETransformer.from_name("tiny-moe", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.RandomState(40)
+    prompts = [rs.randint(0, 512, n).astype(np.int32) for n in (5, 9)]
+    refs = [_reference_greedy(model, params, p, 6) for p in prompts]
+
+    eng = ServingEngine(model, params, max_slots=2, max_seq_len=32,
+                        prefill_chunk=8)
+    for p in prompts:
+        eng.add_request(Request(prompt=p, max_new_tokens=6))
+    done = eng.run_to_completion(chunk=4)
+    assert len(done) == 2
+    outs = {tuple(r.prompt.tolist()): r.output for r in done}
+    for p, ref in zip(prompts, refs):
+        np.testing.assert_array_equal(
+            np.asarray(outs[tuple(p.tolist())]), ref)

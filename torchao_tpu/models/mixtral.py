@@ -123,13 +123,26 @@ def moe_transformer_forward(
 ):
     B, T = tokens.shape
     x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
-    freqs = jax.lax.dynamic_slice_in_dim(freqs_full, input_pos, T, axis=0)
+
+    # scalar OR per-slot vector input_pos (continuous-batching engine),
+    # same contract as the Llama forward (models/llama/model.py)
+    vector_pos = getattr(input_pos, "ndim", 0) == 1
+    if vector_pos:
+        freqs = freqs_full[input_pos[:, None] + jnp.arange(T)[None, :]]
+    else:
+        freqs = jax.lax.dynamic_slice_in_dim(
+            freqs_full, input_pos, T, axis=0
+        )
 
     if mask is None:
         if cache is not None:
             S = jax.tree_util.tree_leaves(cache)[0].shape[3]
-            pos = input_pos + jnp.arange(T)[:, None]
-            mask = jnp.arange(S)[None, :] <= pos
+            if vector_pos:
+                pos = input_pos[:, None, None] + jnp.arange(T)[None, :, None]
+                mask = jnp.arange(S)[None, None, :] <= pos  # [B, T, S]
+            else:
+                pos = input_pos + jnp.arange(T)[:, None]
+                mask = jnp.arange(S)[None, :] <= pos
         else:
             mask = jnp.tril(jnp.ones((T, T), bool))
 
