@@ -567,6 +567,31 @@ def default_linear_filter(path: str, leaf) -> bool:
     )
 
 
+def ffn_only_filter(path: str, leaf) -> bool:
+    """FFN linears only (reference generate.py ``ffn_only`` — used for
+    mixed sparse/quant recipes like int8dq+2:4-mlp)."""
+    names = ("w1", "w2", "w3")
+    return default_linear_filter(path, leaf) and any(
+        path.endswith(f"{n}.weight") or path.endswith(n)
+        or f".{n}." in path for n in names
+    )
+
+
+def attn_only_filter(path: str, leaf) -> bool:
+    """Attention linears only (reference ``not_ffn_only`` complement)."""
+    names = ("wqkv", "wo")
+    return default_linear_filter(path, leaf) and any(
+        path.endswith(f"{n}.weight") or path.endswith(n)
+        or f".{n}." in path for n in names
+    )
+
+
+def ffn_or_attn_only_filter(path: str, leaf) -> bool:
+    """FFN + attention, excluding the output head (reference
+    ``ffn_or_attn_only``)."""
+    return ffn_only_filter(path, leaf) or attn_only_filter(path, leaf)
+
+
 class Transformer:
     """Thin stateless wrapper bundling args + jitted entry points."""
 
