@@ -55,3 +55,26 @@ def test_gpu_only_recipes_raise(recipe):
 def test_unknown_recipe_raises():
     with pytest.raises(ValueError, match="Unknown"):
         config_from_recipe("int99wo")
+
+
+def test_sparsity_flag_filters():
+    """--sparsity semi-structured-mlp prunes FFN weights 2:4 before
+    quantization (CLI wiring only — the full run needs a model)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchao_tpu.models.llama.model import (
+        Transformer,
+        ffn_only_filter,
+    )
+    from torchao_tpu.sparsity import SemiSparseWeightConfig, sparsify_
+
+    model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sp = sparsify_(params, SemiSparseWeightConfig(), ffn_only_filter)
+    w1 = np.asarray(sp["layers"]["feed_forward"]["w1"])
+    assert abs(float((w1 == 0).mean()) - 0.5) < 0.02
+    # attention untouched
+    wq = np.asarray(sp["layers"]["attention"]["wqkv"])
+    assert float((wq == 0).mean()) < 0.01

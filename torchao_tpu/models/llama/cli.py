@@ -116,6 +116,12 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--num_samples", type=int, default=3)
     p.add_argument("--embed_int8wo", action="store_true")
+    p.add_argument(
+        "--sparsity", default=None,
+        choices=["semi-structured", "semi-structured-mlp", "block"],
+        help="prune weights before quantization (reference --sparsity; "
+        "2:4 semantics — no sparse MXU, see SURVEY.md §2.7)",
+    )
     p.add_argument("--write_result", default="benchmark_results.txt")
     p.add_argument("--block_size_cap", type=int, default=4096)
     args = p.parse_args(argv)
@@ -130,6 +136,25 @@ def main(argv=None):
         params = load_checkpoint(args.checkpoint_path)
     else:
         params = model.init_params(jax.random.PRNGKey(0))
+
+    if args.sparsity:
+        from torchao_tpu.models.llama.model import ffn_only_filter
+        from torchao_tpu.sparsity import (
+            BlockSparseWeightConfig,
+            SemiSparseWeightConfig,
+            sparsify_,
+        )
+
+        if args.sparsity == "block":
+            sp_cfg, sp_filter = BlockSparseWeightConfig(), default_linear_filter
+        else:
+            sp_cfg = SemiSparseWeightConfig()
+            sp_filter = (
+                ffn_only_filter
+                if args.sparsity == "semi-structured-mlp"
+                else default_linear_filter
+            )
+        params = sparsify_(params, sp_cfg, filter_fn=sp_filter)
 
     if args.quantization and args.quantization.startswith("int4wo-gptq"):
         # int4wo-gptq[-<g>]: sequential GPTQ calibration (random tokens
