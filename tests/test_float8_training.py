@@ -117,3 +117,54 @@ class TestConvertAndTrain:
         assert np.isfinite(float(val))
         ref_val, _ = step(params, _x((16, 64), seed=4))
         np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-2)
+
+
+def test_precompute_fsdp_scale_path():
+    """precompute_float8_dynamic_scale_for_fsdp: forward matches the
+    in-forward amax path and gradients still flow to the hp weight."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchao_tpu import ops
+    from torchao_tpu.float8 import (
+        Float8LinearConfig,
+        Float8TrainingWeight,
+        convert_to_float8_training,
+        precompute_float8_dynamic_scale_for_fsdp,
+    )
+
+    rs = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rs.randn(64, 128), jnp.float32)}
+    p8 = convert_to_float8_training(
+        params, config=Float8LinearConfig.from_recipe_name("tensorwise"),
+        filter_fn=lambda p, l: True,
+    )
+    x = jnp.asarray(rs.randn(4, 128), jnp.float32)
+    ref = ops.linear(x, p8["w"])
+    pre = precompute_float8_dynamic_scale_for_fsdp(p8)
+    assert pre["w"].precomputed_scale is not None
+    out = ops.linear(x, pre["w"])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+    def loss(p):
+        return jnp.sum(ops.linear(x, p["w"]) ** 2)
+
+    g = jax.grad(loss)(pre)["w"]
+    assert float(jnp.linalg.norm(g.weight)) > 0
+    assert float(jnp.linalg.norm(g.precomputed_scale)) == 0.0
+
+
+def test_auto_filter_for_recipe():
+    import jax.numpy as jnp
+
+    from torchao_tpu.float8 import _auto_filter_for_recipe
+
+    f = _auto_filter_for_recipe("rowwise", filter_fqns=("lm_head",))
+    big = jnp.zeros((4096, 4096))
+    assert f("layers.w1", big)
+    assert not f("lm_head.weight", big)
+    assert not f("layers.small", jnp.zeros((1024, 2048)))   # small for rowwise
+    assert not f("layers.ragged", jnp.zeros((4096, 4098)))  # not %16

@@ -20,6 +20,24 @@ class ScalingGranularity(str, enum.Enum):
     AXISWISE = "axiswise"
 
 
+class ScalingType(str, enum.Enum):
+    """Reference ``config.py`` ScalingType — only DYNAMIC scaling
+    survives in the reference (delayed/static were removed); DISABLED
+    maps to a ``CastConfig(dtype=None)`` hp operand."""
+
+    DYNAMIC = "dynamic"
+    DISABLED = "disabled"
+
+
+@dataclasses.dataclass(frozen=True)
+class Float8GemmConfig:
+    """Reference ``Float8GemmConfig(use_fast_accum)``. On TPU the MXU
+    always accumulates in f32 — the knob is accepted for API
+    compatibility and has no effect."""
+
+    use_fast_accum: bool = False
+
+
 @dataclasses.dataclass(frozen=True)
 class CastConfig:
     """How one operand of one gemm is cast to fp8 (reference
@@ -75,3 +93,42 @@ class Float8LinearConfig(AOBaseConfig):
                 round_scales_to_power_of_2=True,
             )
         raise ValueError(f"Unknown recipe: {name}")
+
+
+def _auto_filter_for_recipe(recipe, filter_fqns=()):
+    """Returns a ``filter_fn(path, leaf)`` that skips linears known not
+    to benefit from the recipe (reference ``float8_linear_utils.py``
+    ``_auto_filter_for_recipe``): excluded fqns, dims not divisible by
+    16, and small layers where quantization overhead dominates
+    (rowwise: K<=2048 & N<4096; tensorwise: K<=4096 & N<=1024)."""
+    name = (
+        recipe if isinstance(recipe, str)
+        else ("rowwise" if "rowwise" in str(recipe) else "tensorwise")
+    ).lower()
+
+    def f(path, leaf):
+        if getattr(leaf, "ndim", 0) != 2:
+            return False
+        if any(fqn in path for fqn in filter_fqns):
+            return False
+        N, K = leaf.shape
+        if N % 16 or K % 16:
+            return False
+        if name.startswith("rowwise"):
+            if K <= 2048 and N < 4096:
+                return False
+        else:
+            if K <= 4096 and N <= 1024:
+                return False
+        return True
+
+    return f
+
+
+# reference alias: the granularity union accepted by fp8 inference
+from torchao_tpu.quantization.granularity import (  # noqa: E402,F401
+    PerRow as _PerRow,
+    PerTensor as _PerTensor,
+)
+
+FP8Granularity = (_PerTensor, _PerRow)

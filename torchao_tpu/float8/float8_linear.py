@@ -146,6 +146,50 @@ float8_linear.defvjp(
 )
 
 
+def _cast_fp8_with_scale(t, cfg, scale):
+    dtype = jnp.dtype(cfg.dtype)
+    fp8_max = float(jnp.finfo(dtype).max)
+    q = jnp.clip(
+        t.astype(jnp.float32) / scale, -fp8_max, fp8_max
+    ).astype(dtype)
+    return q, scale
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def float8_linear_with_wscale(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    w_scale: jnp.ndarray,   # precomputed tensorwise weight scale
+    config: Float8LinearConfig = Float8LinearConfig(),
+) -> jnp.ndarray:
+    out, _ = _fwd_ws(x, w, w_scale, config)
+    return out
+
+
+def _fwd_ws(x, w, w_scale, config):
+    rp2 = config.round_scales_to_power_of_2
+    x2 = x.reshape(-1, x.shape[-1])
+    xq, xs = _cast_fp8(x2, config.cast_config_input, 1, rp2)
+    wq, ws = _cast_fp8_with_scale(w, config.cast_config_weight, w_scale)
+    out = _scaled_mm(xq, xs, wq, ws, (((1,), (1,)), ((), ())))
+    out = out.reshape(x.shape[:-1] + (w.shape[0],)).astype(x.dtype)
+    return out, (x, w, w_scale)
+
+
+def _bwd_ws(config, res, g):
+    x, w, w_scale = res
+    # the scale is derived data (stop-grad in the reference): reuse the
+    # standard backward and emit a zero cotangent for it
+    dx, dw = _bwd(config, (x, w), g)
+    return dx, dw, jnp.zeros_like(w_scale)
+
+
+float8_linear_with_wscale.defvjp(
+    lambda x, w, w_scale, config: _fwd_ws(x, w, w_scale, config),
+    _bwd_ws,
+)
+
+
 # ---------------------------------------------------------------------------
 # training weight wrapper + conversion
 # ---------------------------------------------------------------------------
@@ -159,6 +203,11 @@ class Float8TrainingWeight(QuantizedArray):
     ``float8_linear_utils.py:86``)."""
 
     weight: jnp.ndarray
+    # tensorwise weight scale precomputed after the optimizer step so a
+    # sharded (FSDP-style) cast-then-all-gather needs no extra amax
+    # collective (reference ``precompute_float8_dynamic_scale_for_fsdp``,
+    # fsdp_utils.py) — None means compute in-forward as usual
+    precomputed_scale: Optional[jnp.ndarray] = None
     config: Float8LinearConfig = static_field(
         default_factory=Float8LinearConfig
     )
@@ -174,6 +223,35 @@ class Float8TrainingWeight(QuantizedArray):
     def dequantize(self, output_dtype=None):
         w = self.weight
         return w if output_dtype is None else w.astype(output_dtype)
+
+
+def precompute_float8_dynamic_scale_for_fsdp(params):
+    """Fill each ``Float8TrainingWeight``'s tensorwise scale from the
+    current weights (call after the optimizer step; the forward then
+    skips the amax pass — and under FSDP sharding the amax reduction
+    happens here, once, instead of inside every forward)."""
+    import dataclasses as _dc
+
+    def fix(leaf):
+        if not isinstance(leaf, Float8TrainingWeight):
+            return leaf
+        cfg = leaf.config.cast_config_weight
+        if (
+            cfg is None or cfg.dtype is None
+            or cfg.scaling_granularity is not ScalingGranularity.TENSORWISE
+        ):
+            return leaf
+        fp8_max = float(jnp.finfo(jnp.dtype(cfg.dtype)).max)
+        amax = jnp.max(jnp.abs(leaf.weight.astype(jnp.float32)))
+        scale = jnp.maximum(amax, 1e-12) / fp8_max
+        if leaf.config.round_scales_to_power_of_2:
+            scale = jnp.exp2(jnp.ceil(jnp.log2(scale)))
+        return _dc.replace(leaf, precomputed_scale=scale)
+
+    return jax.tree_util.tree_map(
+        fix, params,
+        is_leaf=lambda l: isinstance(l, Float8TrainingWeight),
+    )
 
 
 def convert_to_float8_training(
@@ -211,7 +289,12 @@ def _register_dispatch():
         return isinstance(w, Float8TrainingWeight)
 
     def impl(x, w, bias, preference):
-        out = float8_linear(x, w.weight, w.config)
+        if w.precomputed_scale is not None:
+            out = float8_linear_with_wscale(
+                x, w.weight, w.precomputed_scale, w.config
+            )
+        else:
+            out = float8_linear(x, w.weight, w.config)
         return out + bias if bias is not None else out
 
     register_qlinear_dispatch("float8_training", check, impl)
