@@ -62,7 +62,12 @@ def _kernel(
     wp = wp_ref[:]                                   # [bkp, bn] u8
     lo = (wp & jnp.uint8(0xF)).astype(jnp.int8)      # VPU: 1 AND / byte
     b_i8 = jax.lax.bitcast_convert_type(wp, jnp.int8)
-    neg = (b_i8 < 0).astype(jnp.int8)                # high-bit mask
+    # high-bit mask without comparisons (Mosaic rejects i8 compares):
+    # m_i8 = bitcast(b & 0x80) ∈ {0, −128}, so Σx·neg = −Σx·m/128 and
+    # Σx·b_u8 = Σx·b_i8 + 256·Σx·neg = Σx·b_i8 − 2·Σx·m
+    m_i8 = jax.lax.bitcast_convert_type(
+        wp & jnp.uint8(0x80), jnp.int8
+    )
 
     def half(x_ref, s_ref, use_hi: bool):
         x = x_ref[:]                                 # [bm, bkp] i8
@@ -79,15 +84,13 @@ def _kernel(
 
             p_lo = mm(lo)
             if use_hi:
-                # Σx·b_u8 = Σx·b_i8 + 256·Σx·neg ; hi = (b_u8 − lo)/16
-                num = mm(b_i8) + 256 * mm(neg) - p_lo
+                # hi = (b_u8 − lo)/16 with Σx·b_u8 from the identity above
+                num = mm(b_i8) - 2 * mm(m_i8) - p_lo
                 p = jax.lax.shift_right_arithmetic(num, 4)
             else:
                 p = p_lo
-            ones = jnp.ones((g, 1), jnp.int8)
-            row_sum = jax.lax.dot_general(
-                xs_g, ones, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+            row_sum = jnp.sum(
+                xs_g.astype(jnp.int32), axis=1, keepdims=True
             )                                        # [bm, 1] = Σx
             p = p - 8 * row_sum                      # q = nib − 8
             acc_ref[:] += p.astype(jnp.float32) * s[gi:gi + 1, :]
