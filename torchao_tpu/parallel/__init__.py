@@ -1,5 +1,6 @@
 from torchao_tpu.parallel.sharding import (  # noqa: F401
     llama_param_specs,
+    param_shardings,
     make_mesh,
     shard_params,
     kv_cache_specs,

@@ -73,11 +73,27 @@ def _spec_for_leaf(base: P, leaf, transposed: bool = False) -> P:
     return P(*entries[:ndim])
 
 
+def param_shardings(
+    params: Any, base_specs: Dict[str, P], mesh: Mesh
+) -> Any:
+    """Generic version of :func:`llama_param_specs`: map *logical*
+    weight PartitionSpecs (path-prefix keyed) onto every leaf of a
+    (possibly quantized) params pytree — qdata shards like its weight
+    (axes swapped for K-major storage), scales/zeros follow their
+    reduction axes."""
+    return _specs_from_map(params, base_specs, mesh)
+
+
 def llama_param_specs(
     params: Any, mesh: Mesh, model_axis: str = "model"
 ) -> Any:
     """Pytree of NamedSharding matching ``params`` (quantized or not)."""
-    base_specs = _llama_weight_specs(model_axis)
+    return _specs_from_map(params, _llama_weight_specs(model_axis), mesh)
+
+
+def _specs_from_map(
+    params: Any, base_specs: Dict[str, P], mesh: Mesh
+) -> Any:
 
     def path_str(key_path):
         parts = []
