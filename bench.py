@@ -134,6 +134,19 @@ def weight_read_bytes_per_token(params) -> int:
     return total
 
 
+def _peak_memory_gb():
+    """Device peak memory (reference rows report peak_mem); None when the
+    backend exposes no stats (e.g. this tunnel)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get(
+            "bytes_in_use"
+        )
+        return round(peak / 1e9, 3) if peak else None
+    except Exception:
+        return None
+
+
 def main():
     from torchao_tpu.models.llama.generate import benchmark_decode
     from torchao_tpu.models.llama.model import (
@@ -213,6 +226,7 @@ def main():
                 "init_s": round(init_s, 1),
                 "backend": jax.default_backend(),
                 "pallas_fallback": pallas_fallback,
+                "peak_mem_GB": _peak_memory_gb(),
             }
         )
     )
