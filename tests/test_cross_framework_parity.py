@@ -135,3 +135,36 @@ def test_int8wo_model_logits_match():
         jnp.asarray(ref_logits), our_logits.astype(jnp.float32)
     ))
     assert sqnr > 35, f"int8wo model divergence vs reference: {sqnr} dB"
+
+
+def test_int8dq_model_logits_match():
+    """int8 dynamic-activation × int8-weight on both sides: validates
+    the per-token activation quant semantics end-to-end too."""
+    from torchao.quantization import (
+        int8_dynamic_activation_int8_weight as ref_int8dq,
+        quantize_ as ref_quantize_,
+    )
+
+    from torchao_tpu.models.llama.model import default_linear_filter
+    from torchao_tpu.quantization.quant_api import (
+        Int8DynamicActivationInt8WeightConfig,
+        quantize_,
+    )
+    from torchao_tpu.utils import compute_error
+
+    ref, ours, params = _build_pair(seed=2)
+    toks = np.random.RandomState(2).randint(0, 512, (1, 8)).astype(
+        np.int64
+    )
+    ref_quantize_(ref, ref_int8dq())
+    ref_logits = _ref_logits(ref, toks)
+
+    qparams = quantize_(
+        params, Int8DynamicActivationInt8WeightConfig(),
+        default_linear_filter,
+    )
+    our_logits, _ = ours(qparams, jnp.asarray(toks, jnp.int32))
+    sqnr = float(compute_error(
+        jnp.asarray(ref_logits), our_logits.astype(jnp.float32)
+    ))
+    assert sqnr > 30, f"int8dq model divergence vs reference: {sqnr} dB"
