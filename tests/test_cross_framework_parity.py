@@ -168,3 +168,47 @@ def test_int8dq_model_logits_match():
         jnp.asarray(ref_logits), our_logits.astype(jnp.float32)
     ))
     assert sqnr > 30, f"int8dq model divergence vs reference: {sqnr} dB"
+
+
+def test_int4wo_model_logits_match():
+    """The headline config: tinygemm-semantics int4 weight-only g=32 on
+    both sides (reference uses its Int4CPULayout on CPU)."""
+    from torchao.dtypes import Int4CPULayout
+    from torchao.quantization import (
+        Int4WeightOnlyConfig as RefInt4,
+        quantize_ as ref_quantize_,
+    )
+
+    from torchao_tpu.models.llama.model import default_linear_filter
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig,
+        quantize_,
+    )
+    from torchao_tpu.utils import compute_error
+
+    ref, ours, params = _build_pair(seed=3)
+    toks = np.random.RandomState(3).randint(0, 512, (1, 8)).astype(
+        np.int64
+    )
+    ref = ref.to(torch.bfloat16)
+    ref_quantize_(
+        ref, RefInt4(group_size=32, layout=Int4CPULayout(), version=1)
+    )
+    T = toks.shape[1]
+    ref.setup_caches(1, 16)
+    with torch.no_grad():
+        ref_logits = ref(
+            torch.from_numpy(toks), torch.arange(T)
+        ).float().numpy()
+
+    qparams = quantize_(
+        params, Int4WeightOnlyConfig(group_size=32),
+        default_linear_filter,
+    )
+    our_logits, _ = ours(qparams, jnp.asarray(toks, jnp.int32))
+    sqnr = float(compute_error(
+        jnp.asarray(ref_logits), our_logits.astype(jnp.float32)
+    ))
+    # both models carry identical int4 noise IF the qparam decisions
+    # match; the remaining gap is bf16-vs-f32 activation precision
+    assert sqnr > 25, f"int4wo model divergence vs reference: {sqnr} dB"
