@@ -17,6 +17,9 @@ _sys.path.insert(
 )
 
 import jax
+if __import__("os").environ.get("TUTORIAL_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

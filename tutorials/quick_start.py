@@ -10,6 +10,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+if __import__("os").environ.get("TUTORIAL_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from torchao_tpu import Int4WeightOnlyConfig, ops, quantize_
