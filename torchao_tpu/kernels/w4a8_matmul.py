@@ -69,26 +69,34 @@ def _kernel(
         wp & jnp.uint8(0x80), jnp.int8
     )
 
+    bn = lo.shape[1]
+    # one wide weight matrix for the hi path: [bkp, 3·bn] = [lo | b | m]
+    # — a single MXU dot per group instead of three (compile + dispatch
+    # cost scale with op count on this toolchain)
+    cat = jnp.concatenate([lo, b_i8, m_i8], axis=1)
+
     def half(x_ref, s_ref, use_hi: bool):
         x = x_ref[:]                                 # [bm, bkp] i8
         s = s_ref[:].astype(jnp.float32)             # [n_groups, bn]
         for gi in range(n_groups):                   # static unroll
             xs_g = x[:, gi * g:(gi + 1) * g]
             sl = slice(gi * g, (gi + 1) * g)
-
-            def mm(wblk):
-                return jax.lax.dot_general(
-                    xs_g, wblk[sl, :], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-
-            p_lo = mm(lo)
             if use_hi:
-                # hi = (b_u8 − lo)/16 with Σx·b_u8 from the identity above
-                num = mm(b_i8) - 2 * mm(m_i8) - p_lo
+                wide = jax.lax.dot_general(
+                    xs_g, cat[sl, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )                                    # [bm, 3·bn]
+                p_lo = wide[:, :bn]
+                # hi = (b_u8 − lo)/16, Σx·b_u8 = Σx·b_i8 − 2·Σx·m
+                num = (
+                    wide[:, bn:2 * bn] - 2 * wide[:, 2 * bn:] - p_lo
+                )
                 p = jax.lax.shift_right_arithmetic(num, 4)
             else:
-                p = p_lo
+                p = jax.lax.dot_general(
+                    xs_g, lo[sl, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
             row_sum = jnp.sum(
                 xs_g.astype(jnp.int32), axis=1, keepdims=True
             )                                        # [bm, 1] = Σx
