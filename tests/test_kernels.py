@@ -306,9 +306,11 @@ class TestW4A8Matmul:
         ref = jnp.matmul(x, w.T)
         assert compute_error(ref, out) > 18
 
-    def test_kernel_vs_laqt_path(self):
+    def test_kernel_vs_laqt_path(self, monkeypatch):
         """The fused kernel must match the QDQ laqt path bit-for-bit in
-        the int32 partial domain (same act quant, same weight grid)."""
+        the int32 partial domain (same act quant, same weight grid).
+        The kernel is opt-in (slow on this platform — see its probe)."""
+        monkeypatch.setenv("TORCHAO_TPU_ENABLE_PALLAS_W4A8", "1")
         from torchao_tpu.kernels.w4a8_matmul import (
             w4a8_dq_matmul,
             w4a8_dq_matmul_available,

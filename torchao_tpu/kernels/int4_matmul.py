@@ -266,9 +266,13 @@ def int4_dq_matmul_available(x, w):
         return None
     if w.packing_format is not PackingFormat.TILED_NIBBLES:
         return None
-    if w.zero_point_domain is not ZeroPointDomain.FLOAT:
+    # FLOAT zero-point domain (tinygemm), or symmetric with no zero
+    # point (e.g. the 8da4w TILED weight: nib = q + 8, so
+    # dq = (nib − 8)·s is the same tinygemm form with z = 0, mid = 8)
+    symmetric = w.zero_point is None
+    if not symmetric and w.zero_point_domain is not ZeroPointDomain.FLOAT:
         return None
-    if w.qdata.ndim != 2 or w.zero_point is None:
+    if w.qdata.ndim != 2:
         return None
     N, K = w.shape
     group_size = w.block_size[-1]
@@ -283,6 +287,10 @@ def int4_dq_matmul_available(x, w):
 
     def impl(x, w):
         xb = x.reshape(-1, K)
+        zero = (
+            jnp.zeros_like(w.scale) if w.zero_point is None
+            else w.zero_point
+        )
         kw = {}
         v = os.environ.get("TORCHAO_TPU_INT4_VARIANT")
         if v in ("fused", "group_partial"):
@@ -297,14 +305,14 @@ def int4_dq_matmul_available(x, w):
             (xb.shape[0], N, K, group_size),
             int4_matmul_candidates(xb.shape[0], N, K, group_size),
             lambda cfg: int4_dq_matmul(
-                xb, w.qdata, w.scale, w.zero_point,
+                xb, w.qdata, w.scale, zero,
                 group_size=group_size, mid=mid, **cfg,
             ),
         )
         if tuned:
             kw = {**tuned, **kw}  # env variant override wins
         out = int4_dq_matmul(
-            xb, w.qdata, w.scale, w.zero_point,
+            xb, w.qdata, w.scale, zero,
             group_size=group_size, mid=mid, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))

@@ -221,6 +221,15 @@ def w4a8_dq_matmul_available(w):
     from torchao_tpu.qtypes.intx import IntxArray
     from torchao_tpu.quantization.quant_primitives import ZeroPointDomain
 
+    # OFF by default: measured on this v5e slice the per-group int8
+    # sub-matmuls (K=32 each) serialize on the MXU — 29.5 ms/matmul at
+    # the 8B FFN shape vs ~3.2 ms for the bf16 int4 kernel — so the
+    # QDQ-act + int4-Pallas route wins (see ops/qlinear._impl_laqt).
+    # The kernel is integer-exact (4.5e-7 rel err on hw); opt in with
+    # TORCHAO_TPU_ENABLE_PALLAS_W4A8=1 on hardware where many small
+    # int8 matmuls pipeline well.
+    if os.environ.get("TORCHAO_TPU_ENABLE_PALLAS_W4A8") != "1":
+        return None
     if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_W4A8") == "1":
         return None
     if not isinstance(w, IntxArray):

@@ -324,10 +324,11 @@ def _impl_laqt_generic(x, w, bias, preference):
                 ..., None
             ]
         x = x_dq.astype(x.dtype)
-    inner = w.original_weight
-    wd = inner.dequantize(x.dtype)
-    out = jnp.matmul(x, wd.T)
-    return out + bias if bias is not None else out
+    # recurse into the dispatch with the (now hp-typed) quantized-
+    # dequantized activation: the inner weight's own fast path applies —
+    # e.g. the 8da4w TILED int4 weight runs the fused int4 Pallas
+    # kernel instead of a full-weight dequantize
+    return linear(x, w.original_weight, bias)
 
 
 def _check_qat_fake_quantized(x, w, bias):
