@@ -361,3 +361,30 @@ def test_int4_group_partial_variant_matches():
         variant="group_partial", interpret=True,
     )
     assert compute_error(ref, out) > 35
+
+
+def test_int4_kernel_symmetric_no_zp_dispatch():
+    """The int4 Pallas gate accepts symmetric TILED weights (the 8da4w
+    inner weight): kernel output must match dequant+matmul."""
+    from torchao_tpu.kernels.int4_matmul import int4_dq_matmul_available
+    from torchao_tpu.qtypes.base import PackingFormat
+    from torchao_tpu.qtypes.intx import IntxArray
+    from torchao_tpu.quantization.quant_primitives import (
+        MappingType,
+        ZeroPointDomain,
+    )
+
+    rs = np.random.RandomState(7)
+    w = jnp.asarray(rs.randn(128, 512) * 0.1, jnp.float32)
+    qw = IntxArray.from_hp(
+        w, MappingType.SYMMETRIC, (1, 32), "int4",
+        quant_min=-8, quant_max=7,
+        zero_point_domain=ZeroPointDomain.NONE,
+        packing_format=PackingFormat.TILED_NIBBLES,
+    )
+    impl = int4_dq_matmul_available(None, qw)
+    assert impl is not None
+    x = jnp.asarray(rs.randn(4, 512), jnp.float32)
+    out = impl(x, qw)
+    ref = x @ qw.dequantize(jnp.float32).T
+    assert compute_error(ref, out) > 30
