@@ -185,10 +185,18 @@ def main():
             print(json.dumps({"recipe": opt_name,
                               "error": str(e)[:120]}), flush=True)
             continue
+        # optimizer-state footprint (the low-bit-Adam headline metric:
+        # reference benchmarks/benchmark_low_bit_adam.py)
+        state_bytes = sum(
+            l.size * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(opt.init(params))
+            if hasattr(l, "dtype")
+        )
         print(json.dumps({
             "recipe": opt_name,
             "step_ms": round(dt * 1e3, 2),
             "tok_s": round(tokens_per_step / dt, 1),
+            "opt_state_MB": round(state_bytes / 1e6, 2),
         }), flush=True)
 
 
