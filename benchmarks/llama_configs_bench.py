@@ -89,7 +89,8 @@ def main():
         try:
             bench_recipe(r.strip())
         except Exception as e:
-            print(json.dumps({"recipe": r, "error": str(e)[:200]}),
+            import traceback; traceback.print_exc()
+            print(json.dumps({"recipe": r, "error": str(e)[:400]}),
                   flush=True)
 
 
