@@ -356,10 +356,10 @@ def _int8_dyn_act_int4_weight_transform(
     Kp = w.shape[-1] // 2
     tiled = (
         config.mapping_type is MappingType.SYMMETRIC
-        and w.ndim == 2
+        and w.ndim >= 2                      # incl. stacked [L, N, K]
         and w.shape[-1] % 2 == 0
         and Kp % max(8 * group_size, 128) == 0
-        and w.shape[0] % 128 == 0
+        and w.shape[-2] % 128 == 0
     )
     if tiled:
         inner = IntxArray.from_hp(
