@@ -139,3 +139,106 @@ def int8_scaled_matmul_available(x_q, w):
         return out.reshape(x_q_in.shape[:-1] + (N,))
 
     return impl
+
+
+# ---------------------------------------------------------------------------
+# int8 WEIGHT-ONLY: bf16 activations × int8 weights via the native mixed
+# MXU matmul (probed on hw: bf16×s8 dot_general is legal and exact) —
+# no weight cast materializes; per-channel scale in the epilogue.
+# ---------------------------------------------------------------------------
+
+
+def _wo_kernel(x_ref, w_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = (
+            acc_ref[:] * ws_ref[:].astype(jnp.float32)
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret")
+)
+def int8wo_mixed_matmul(
+    x: jnp.ndarray,        # [M, K] bf16/f32
+    w_q: jnp.ndarray,      # [N, K] int8
+    w_scale: jnp.ndarray,  # [N]
+    *,
+    bm: Optional[int] = None,
+    bn: int = 1024,
+    bk: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x.shape
+    N, K2 = w_q.shape
+    assert K == K2, (K, K2)
+    bn = min(bn, N)
+    bk = min(bk, K)
+    if bm is None:
+        bm = 8 if M <= 8 else min(256, M)
+    bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    nbk = cdiv(K, bk)
+    out = pl.pallas_call(
+        functools.partial(_wo_kernel, n_k_blocks=nbk),
+        grid=(cdiv(M, bm), cdiv(N, bn), nbk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * K + M * K * 2 + N * 4,
+            transcendentals=0,
+        ),
+    )(x, w_q, w_scale.reshape(1, -1))
+    return out
+
+
+def int8wo_mixed_matmul_available(x, w):
+    """Probe: PLAIN int8 2-D weight with per-channel scales, aligned."""
+    import os
+
+    from torchao_tpu.qtypes.base import PackingFormat
+    from torchao_tpu.qtypes.intx import IntxArray
+
+    if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_INT8WO") == "1":
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if not isinstance(w, IntxArray) or w.qdata.ndim != 2:
+        return None
+    if w.packing_format is not PackingFormat.PLAIN:
+        return None
+    if str(w.qdata.dtype) != "int8":
+        return None
+    N, K = w.qdata.shape
+    if N % 128 != 0 or K % 128 != 0:
+        return None
+    if w.scale.size != N:
+        return None
+
+    def impl(x, w):
+        xb = x.reshape(-1, K)
+        out = int8wo_mixed_matmul(
+            xb, w.qdata, w.scale.reshape(-1).astype(jnp.float32)
+        )
+        return out.reshape(x.shape[:-1] + (N,))
+
+    return impl

@@ -143,8 +143,18 @@ def _impl_int8_weight_only(x, w: IntxArray, bias, preference):
 
     Matches the reference's int8wo path (``plain_layout.py:250-266``):
     ``(x @ w_q.T.to(x.dtype)) * scale`` — XLA fuses the cast+scale into the
-    matmul the way inductor does.
+    matmul the way inductor does. On TPU a Pallas kernel using the
+    native mixed bf16×s8 MXU matmul (no cast at all) is preferred.
     """
+    if _use_pallas(preference):
+        from torchao_tpu.kernels.int8_matmul import (
+            int8wo_mixed_matmul_available,
+        )
+
+        impl = int8wo_mixed_matmul_available(x, w)
+        if impl is not None:
+            out = impl(x, w)
+            return out + bias if bias is not None else out
     w_cast = w.qdata.T.astype(x.dtype)
     out = jnp.matmul(x, w_cast)
     # scale is [N] (per-channel along out features) or [N, k_groups]
