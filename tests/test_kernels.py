@@ -388,3 +388,41 @@ def test_int4_kernel_symmetric_no_zp_dispatch():
     out = impl(x, qw)
     ref = x @ qw.dequantize(jnp.float32).T
     assert compute_error(ref, out) > 30
+
+
+def test_int4_batched_int8_variant_matches():
+    """The batched-int8 variant (zero weight casts, scale on f32 group
+    partials) must match the fused variant and the oracle."""
+    from torchao_tpu.kernels.int4_matmul import (
+        int4_dq_matmul,
+        int4_dq_matmul_reference,
+    )
+
+    rng = np.random.RandomState(5)
+    M, K, N, g = 8, 1024, 256, 32
+    Kp = K // 2
+    x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+    wp = jnp.asarray(rng.randint(0, 256, (Kp, N)), jnp.uint8)
+    scale = jnp.asarray(rng.rand(K // g, N) * 0.01 + 0.005, jnp.bfloat16)
+    zero = jnp.asarray(rng.randn(K // g, N) * 0.02, jnp.bfloat16)
+
+    ref = int4_dq_matmul_reference(x, wp, scale, zero, group_size=g)
+    out = int4_dq_matmul(
+        x, wp, scale, zero, group_size=g,
+        variant="batched_int8", interpret=True,
+    )
+    err = compute_error(
+        jnp.asarray(ref, jnp.float32), jnp.asarray(out, jnp.float32)
+    )
+    assert err > 40, err
+
+    # symmetric no-zero path (8da4w inner weight): zero = 0
+    z0 = jnp.zeros_like(zero)
+    ref0 = int4_dq_matmul_reference(x, wp, scale, z0, group_size=g)
+    out0 = int4_dq_matmul(
+        x, wp, scale, z0, group_size=g,
+        variant="batched_int8", interpret=True,
+    )
+    assert compute_error(
+        jnp.asarray(ref0, jnp.float32), jnp.asarray(out0, jnp.float32)
+    ) > 40

@@ -364,3 +364,67 @@ class TestGGUF:
 
         err = compute_error(x, dq)
         assert err > 14, err  # ~4-bit fidelity w/ 6-bit double-quant scales
+
+
+class TestQQQ:
+    """Marlin-QQQ two-level qparams (reference `quant_primitives.py:1580`)."""
+
+    @pytest.mark.parametrize("group_size", [128, -1])
+    def test_roundtrip(self, group_size):
+        x = jnp.asarray(np.random.RandomState(0).randn(16, 256), jnp.float32)
+        q_w, s_group, s_channel, w_ref = (
+            qp.choose_qparams_and_quantize_affine_qqq(x, 4, group_size)
+        )
+        if group_size == 128:
+            assert s_group.shape == (16, 2) and s_group.dtype == jnp.float16
+            assert int(jnp.min(q_w)) >= 0 and int(jnp.max(q_w)) <= 15
+        else:
+            assert s_group.size == 0
+            assert int(jnp.min(q_w)) >= -7 and int(jnp.max(q_w)) <= 7
+        assert s_channel.shape == (16, 1) and s_channel.dtype == jnp.float32
+        dq = qp.dequantize_affine_qqq(q_w, s_group, s_channel, 4, group_size)
+        from torchao_tpu.utils import compute_error
+
+        # dequant uses the fp16-fused scales (reference semantics); w_ref
+        # carries the int8 re-quantization, so allow ~s_channel/2 slack
+        atol = float(jnp.max(jnp.abs(s_channel))) * 0.6 + 1e-3
+        np.testing.assert_allclose(
+            np.asarray(dq, np.float32), np.asarray(w_ref, np.float32),
+            rtol=2e-2, atol=atol,
+        )
+        assert compute_error(x, dq.astype(jnp.float32)) > 14
+
+    @requires_reference
+    @pytest.mark.parametrize("group_size", [128, -1])
+    def test_matches_reference(self, group_size):
+        import torch
+
+        rqp = __import__(
+            "torchao.quantization.quant_primitives", fromlist=["x"]
+        )
+        x_np = np.random.RandomState(1).randn(8, 256).astype(np.float32)
+        qw_r, sg_r, sc_r, wref_r = (
+            rqp._choose_qparams_and_quantize_affine_qqq(
+                torch.from_numpy(x_np), 4, group_size
+            )
+        )
+        qw_j, sg_j, sc_j, wref_j = (
+            qp.choose_qparams_and_quantize_affine_qqq(
+                jnp.asarray(x_np), 4, group_size
+            )
+        )
+        np.testing.assert_array_equal(
+            np.asarray(qw_j), qw_r.numpy()
+        )
+        np.testing.assert_allclose(
+            np.asarray(sc_j), sc_r.numpy(), rtol=1e-6
+        )
+        if group_size == 128:
+            np.testing.assert_allclose(
+                np.asarray(sg_j, np.float32),
+                sg_r.float().numpy(), rtol=1e-3,
+            )
+        np.testing.assert_allclose(
+            np.asarray(wref_j, np.float32), wref_r.float().numpy(),
+            rtol=1e-3, atol=1e-4,
+        )

@@ -90,6 +90,81 @@ def _kernel_v2(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_bint8(
+    x3lo_ref,   # [bg, bm, g] bf16 — x pre-grouped: x3[gi] = x[:, gi·g:(gi+1)·g]
+    x3hi_ref,   # [bg, bm, g]
+    wp_ref,     # [bkp, bn] uint8
+    slo_ref,    # [bg, bn] f32 — lo-half group scales
+    shi16_ref,  # [bg, bn] f32 — hi-half group scales / 16
+    z2lo_ref,   # [bg, bn] bf16 — z − mid·s (lo)
+    z2hi_ref,   # [bg, bn] bf16 — z + (8 − mid)·s (hi)
+    out_ref, acc_ref, *, n_k_blocks: int,
+):
+    """Batched-int8 variant: zero float casts on the weight path.
+
+    Probed on hw: batched ``dot_general`` with a bf16 lhs and s8 rhs is
+    native and exact on the MXU. The nibble unpack is two integer VPU
+    ops per byte —
+
+      ``lo = (w & 0xF)``  (int8, the low nibble)
+      ``b′ = (w ^ 0x80)`` bitcast int8 ``= lo + 16·hi_s``  with
+      ``hi_s = hi − 8`` the sign-interpreted high nibble (flipping the
+      top bit re-biases the high nibble to two's complement)
+
+    so per-group f32 partials give the exact dequant-matmul via
+      ``out = Σ_g [x_lo@lo]·s_lo + ([x_hi@b′] − [x_hi@lo])·(s_hi/16)
+              + rowsum terms``
+    with all scale math on [bg, bm, bn] partials instead of per weight
+    element. Wins for small M (decode GEMV); per-partial cost grows
+    with bm, so large-M callers use the fused variant."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bkp, bn = wp_ref.shape
+    bg, bm, g = x3lo_ref.shape
+
+    w = wp_ref[:]
+    lo3 = (w & jnp.uint8(0xF)).astype(jnp.int8).reshape(bg, g, bn)
+    b3 = (w ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(bg, g, bn)
+
+    xlo = x3lo_ref[:]
+    xhi = x3hi_ref[:]
+    xcat = jnp.concatenate([xlo, xhi], axis=1)         # [bg, 2bm, g]
+
+    plo = jax.lax.dot_general(
+        xcat, lo3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                   # [bg, 2bm, bn]
+    pb = jax.lax.dot_general(
+        xhi, b3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                   # [bg, bm, bn]
+    contrib = (
+        plo[:, :bm, :] * slo_ref[:][:, None, :]
+        + (pb - plo[:, bm:, :]) * shi16_ref[:][:, None, :]
+    )
+    acc_ref[:] += jnp.sum(contrib, axis=0)
+
+    # zero terms: Σ_k x[k]·z′[k//g, n] = rowsumsᵀ @ z′ (one MXU dot each)
+    rs_lo = jnp.sum(xlo, axis=2)                        # [bg, bm]
+    rs_hi = jnp.sum(xhi, axis=2)
+    acc_ref[:] += jax.lax.dot_general(
+        rs_lo, z2lo_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        rs_hi, z2hi_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 def _kernel(
     x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
     out_ref, acc_ref, *, group_size: int, n_k_blocks: int, mid: float,
@@ -199,6 +274,13 @@ def int4_dq_matmul(
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
+    if variant == "batched_int8":
+        return _bint8_call(
+            x, wp, scale, zero,
+            group_size=g_eff, mid=mid, bm=bm, bn=bn, bkp=bkp,
+            interpret=interpret,
+        )
+
     kfn = _kernel_v2 if variant == "group_partial" else _kernel
     kernel = functools.partial(
         kfn, group_size=g_eff, n_k_blocks=nbk, mid=mid
@@ -231,6 +313,58 @@ def int4_dq_matmul(
         zero.astype(jnp.float32) - mid * scale.astype(jnp.float32)
     ).astype(jnp.bfloat16)
     out = out(x, x, wp, s_b, s_b, z2, z2)
+    return out
+
+
+def _bint8_call(
+    x, wp, scale, zero, *, group_size, mid, bm, bn, bkp, interpret,
+):
+    """Launch the batched-int8 variant (see ``_kernel_bint8``)."""
+    M, K = x.shape
+    Kp, N = wp.shape
+    g = group_size
+    nG = Kp // g            # groups per packed half
+    bg = bkp // g
+    nbk = Kp // bkp
+
+    # decode-shaped M: one q block holding all rows keeps the partial
+    # combine cost at bm·bg·bn
+    bm = M if M <= 32 else bm
+    assert M % bm == 0 or bm == M, (M, bm)
+
+    x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
+    s_lo = scale[:nG].astype(jnp.float32)
+    s_hi = scale[nG:].astype(jnp.float32)
+    z_lo = zero[:nG].astype(jnp.float32)
+    z_hi = zero[nG:].astype(jnp.float32)
+    z2lo = (z_lo - mid * s_lo).astype(jnp.bfloat16)
+    z2hi = (z_hi + (8.0 - mid) * s_hi).astype(jnp.bfloat16)
+    shi16 = s_hi / 16.0
+
+    grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+    kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bg, bm, g), lambda i, j, k: (k, i, 0)),
+            pl.BlockSpec((bg, bm, g), lambda i, j, k: (k + nbk, i, 0)),
+            pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M * N * K,
+            bytes_accessed=Kp * N + scale.size * 4 + M * K * 4,
+            transcendentals=0,
+        ),
+    )(x3, x3, wp, s_lo, shi16, z2lo, z2hi)
     return out
 
 
@@ -293,7 +427,7 @@ def int4_dq_matmul_available(x, w):
         )
         kw = {}
         v = os.environ.get("TORCHAO_TPU_INT4_VARIANT")
-        if v in ("fused", "group_partial"):
+        if v in ("fused", "group_partial", "batched_int8"):
             kw["variant"] = v
         from torchao_tpu.kernels.autotune import (
             int4_matmul_candidates,

@@ -29,16 +29,16 @@ NEG_INF = -1e30
 
 def _kernel(
     pos_ref,  # scalar prefetch: [B] int32 — position of the FIRST query
-    q_ref,    # [1, 1, R, Dh] bf16 — R = T·G rows, t-major (row r → t=r//G)
+    q_ref,    # [1, 1, bq, Dh] bf16 — rows t-major (global row r → t=r//G)
     kq_ref,   # [1, 1, bs, Dh] int8
     ks_ref,   # [1, 1, bs, 1] bf16
     vq_ref,   # [1, 1, bs, Dh] int8
     vs_ref,   # [1, 1, bs, 1] bf16
-    out_ref,  # [1, 1, R, Dh] f32
+    out_ref,  # [1, 1, bq, Dh] f32
     m_ref, l_ref, acc_ref,
     *, bs: int, scale: float, n_s_blocks: int, rows_per_t: int,
 ):
-    s = pl.program_id(2)
+    s = pl.program_id(3)
 
     @pl.when(s == 0)
     def _():
@@ -48,14 +48,16 @@ def _kernel(
 
     pos = pos_ref[pl.program_id(0)]
     block_start = s * bs
-    R = q_ref.shape[2]
-    n_t = R // rows_per_t  # T query positions in this call
+    bq = q_ref.shape[2]
+    row0 = pl.program_id(2) * bq           # first global query row
+    # last query position covered by this q block
+    t_max = (row0 + bq - 1) // rows_per_t
 
     # query row r has absolute position pos + r // rows_per_t; this key
-    # block is relevant if any row can see it
-    @pl.when(block_start <= pos + (n_t - 1))
+    # block is relevant if any row in the q block can see it
+    @pl.when(block_start <= pos + t_max)
     def _():
-        q = q_ref[0, 0]                      # [R, Dh]
+        q = q_ref[0, 0]                      # [bq, Dh]
         k = kq_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(
             jnp.bfloat16
         )                                     # [bs, Dh]
@@ -67,9 +69,9 @@ def _kernel(
         idx = block_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
         )
-        row_t = jax.lax.broadcasted_iota(
+        row_t = (row0 + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=0
-        ) // rows_per_t
+        )) // rows_per_t
         scores = jnp.where(idx <= pos + row_t, scores, NEG_INF)
 
         m_old = m_ref[:]                      # [G, 1]
@@ -95,7 +97,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "bs", "rows_per_t", "interpret")
+    jax.jit,
+    static_argnames=("scale", "bs", "bq", "rows_per_t", "interpret"),
 )
 def quantized_kv_decode_attention(
     q: jnp.ndarray,        # [B, Hkv, R, Dh] bf16 — R = T·G, t-major rows
@@ -107,41 +110,60 @@ def quantized_kv_decode_attention(
     *,
     scale: Optional[float] = None,
     bs: int = 1024,
+    bq: Optional[int] = None,          # query-row block (prefill); None → R
     rows_per_t: Optional[int] = None,  # = G; None → R (decode, T=1)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, Hkv, R, Dh] f32 attention output. T=1 (decode) by
     default; for prefill pass ``rows_per_t=G`` with R = T·G rows and
-    causal masking ``key ≤ pos + t`` is applied per query row."""
-    B, Hkv, G, Dh = q.shape
+    causal masking ``key ≤ pos + t`` is applied per query row. Long
+    prefills additionally block over query rows (``bq``) — full
+    flash-attention tiling, O(bq·bs) VMEM instead of O(R·S)."""
+    B, Hkv, R, Dh = q.shape
     if rows_per_t is None:
-        rows_per_t = G
+        rows_per_t = R
     S = k_q.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
     bs = min(bs, S)
     while S % bs:
         bs //= 2
+    if bq is None:
+        bq = R
+    bq = min(bq, R)
+    while R % bq:  # grid needs R | bq; masking stays exact per row
+        bq //= 2
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     n_s = S // bs
+    n_q = R // bq
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, n_s),
+        grid=(B, Hkv, n_q, n_s),
         in_specs=[
-            pl.BlockSpec((1, 1, G, Dh), lambda b, h, s, *prefetch: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, bs, Dh), lambda b, h, s, *prefetch: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bs, 1), lambda b, h, s, *prefetch: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bs, Dh), lambda b, h, s, *prefetch: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bs, 1), lambda b, h, s, *prefetch: (b, h, s, 0)),
+            pl.BlockSpec(
+                (1, 1, bq, Dh), lambda b, h, iq, s, *p: (b, h, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bs, Dh), lambda b, h, iq, s, *p: (b, h, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bs, 1), lambda b, h, iq, s, *p: (b, h, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bs, Dh), lambda b, h, iq, s, *p: (b, h, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bs, 1), lambda b, h, iq, s, *p: (b, h, s, 0)
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, Dh), lambda b, h, s, *prefetch: (b, h, 0, 0)
+            (1, 1, bq, Dh), lambda b, h, iq, s, *p: (b, h, iq, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, Dh), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, Dh), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -151,7 +173,7 @@ def quantized_kv_decode_attention(
     out_call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, R, Dh), jnp.float32),
         interpret=interpret,
     )
     pos_vec = jnp.broadcast_to(

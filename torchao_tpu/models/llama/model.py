@@ -381,6 +381,9 @@ def _attention(
                 new_cache["v_q"], new_cache["v_scale"],
                 pos_vec,
                 rows_per_t=g,
+                # prefill (T>1): flash-tile over query rows too, so long
+                # prompts never materialize [T·g, S] scores in VMEM
+                bq=None if T == 1 else 512,
             )  # [B, Hkv, T·g, Dh] f32
             out = (
                 attn.reshape(B, Hkv, T, g, Dh)

@@ -52,6 +52,8 @@ __all__ = [
     "quantize_affine_float8",
     "dequantize_affine_float8",
     "choose_qparams_and_quantize_affine_hqq",
+    "choose_qparams_and_quantize_affine_qqq",
+    "dequantize_affine_qqq",
     "choose_qparams_affine_floatx",
     "quantize_affine_floatx",
     "dequantize_affine_floatx",
@@ -1094,6 +1096,107 @@ def dequantize_gguf(
     m_v = _view_qparam(mins, block_size, original_shape)
     dq = q * s_v - m_v
     return dq.reshape(original_shape).astype(output_dtype)
+
+
+def choose_qparams_and_quantize_affine_qqq(
+    w: jnp.ndarray,
+    num_bits: int = 4,
+    group_size: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Marlin-QQQ W4A8 qparams (reference
+    ``_choose_qparams_and_quantize_affine_qqq``,
+    ``quant_primitives.py:1580``): two-level scheme for int8-activation ×
+    int4-weight GEMMs.
+
+    Grouped case (``group_size < K``): symmetric per-group int4 quant
+    (``s_group = 2·absmax/15``, stored unsigned with +8 offset), then the
+    *dequantized* weight is re-quantized per-channel to int8
+    (``s_channel = absmax/127``) and the group scales are re-expressed
+    relative to the channel scale (``s_group / s_channel``, fp16) — so the
+    kernel epilogue applies ``int_acc · s_group_rel · s_channel``.
+
+    Channelwise case (``group_size == K`` or -1): symmetric int4 only,
+    ``s_channel = absmax/7`` then divided by ``2**(8-num_bits)`` to
+    pre-compensate the unpack right-shift; ``s_group`` is empty.
+
+    Returns ``(q_w, s_group, s_channel, w_ref)`` with the reference's
+    dtypes (q int32-valued, s_group fp16, s_channel fp32, w_ref fp32).
+    """
+    assert num_bits == 4, f"Unsupported num_bits = {num_bits}"
+    size_n, size_k = w.shape
+    if group_size == -1:
+        group_size = size_k
+    assert group_size in (128, size_k), f"Unsupported groupsize = {group_size}"
+
+    if group_size < size_k:
+        wg = w.reshape(-1, group_size).astype(jnp.float32)
+        max_q_val = 2**num_bits - 1
+        half_q_val = (max_q_val + 1) // 2
+
+        s_group = jnp.max(jnp.abs(wg), axis=-1, keepdims=True) * (
+            2.0 / max_q_val
+        )
+        q_w = round_ste(wg / s_group).astype(jnp.int32) + half_q_val
+        q_w = jnp.clip(q_w, 0, max_q_val)
+        # reference computes in f32 with the small ints passed through
+        # fp16 (exact): half * float32 promotes back to float32 in torch
+        w_ref = (q_w - half_q_val).astype(jnp.float32) * s_group
+
+        q_w = q_w.reshape(size_n, size_k)
+        w_ref = w_ref.reshape(size_n, size_k)
+
+        s_channel = jnp.max(jnp.abs(w_ref), -1, keepdims=True) / 127.0
+        t_int8 = jnp.clip(
+            jnp.round(w_ref / s_channel), -128, 127
+        ).astype(jnp.int8)
+        w_ref = t_int8.astype(jnp.float32) * s_channel
+        s_channel = s_channel.reshape(-1, 1).astype(jnp.float32)
+
+        s_group = (
+            s_group.reshape(size_n, -1) / s_channel
+        ).astype(jnp.float16)
+    else:
+        max_q_val = 2 ** (num_bits - 1) - 1
+        wf = w.astype(jnp.float32)
+        s_channel = jnp.max(jnp.abs(wf), -1, keepdims=True) / max_q_val
+        q_w = jnp.clip(
+            round_ste(wf / s_channel).astype(jnp.int32),
+            -max_q_val, max_q_val,
+        )
+        w_ref = q_w.astype(jnp.float32) * s_channel
+        s_group = jnp.zeros((size_n, 0), jnp.float16)
+        # offset the unpack right-shift (reference keeps values in the
+        # high bits of int8 storage)
+        s_channel = (s_channel / 2 ** (8 - num_bits)).reshape(
+            size_n, -1
+        ).astype(jnp.float32)
+
+    return q_w, s_group, s_channel, w_ref
+
+
+def dequantize_affine_qqq(
+    q_w: jnp.ndarray,
+    s_group: jnp.ndarray,
+    s_channel: jnp.ndarray,
+    num_bits: int = 4,
+    group_size: int = 128,
+    output_dtype: jnp.dtype = jnp.float16,
+) -> jnp.ndarray:
+    """Inverse of :func:`choose_qparams_and_quantize_affine_qqq`
+    (reference ``_dequantize_affine_qqq``)."""
+    size_n, size_k = q_w.shape
+    if group_size == -1:
+        group_size = size_k
+    if group_size < size_k:
+        half_q_val = 2 ** (num_bits - 1)
+        # reference multiplies the fused scales in fp16
+        sg = s_group.astype(jnp.float16) * s_channel.astype(jnp.float16)
+        sg = jnp.repeat(sg, group_size, axis=-1)
+        dq = (q_w - half_q_val).astype(jnp.float16) * sg
+    else:
+        sc = s_channel * 2 ** (8 - num_bits)
+        dq = q_w.astype(jnp.float16) * sc
+    return dq.astype(output_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -235,11 +235,14 @@ class ServingEngine:
         self._admit()
         if not self.active:
             return {}
+        # NOT bounded by min(slot_remaining): a nearly-done slot would
+        # collapse everyone's chunk to 1. Slots past their budget decode
+        # overshoot garbage on device (host trims); their writes land at
+        # positions >= their cursor, which the admission invariant already
+        # treats as scratch. The S bound still applies to every lane —
+        # clamped writes at S-1 only touch future (scratch) positions.
         n_eff = min(
             n,
-            min(
-                int(self.slot_remaining[s]) for s in self.active
-            ),
             int(self.S - 1 - max(self.slot_pos[s] for s in self.active)),
         )
         if n_eff < 1:
