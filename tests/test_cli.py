@@ -78,3 +78,18 @@ def test_sparsity_flag_filters():
     # attention untouched
     wq = np.asarray(sp["layers"]["attention"]["wqkv"])
     assert float((wq == 0).mean()) < 0.01
+
+
+def test_cli_text_prompt(tmp_path, monkeypatch):
+    """--prompt path: tokenize -> generate -> print (byte-level fallback
+    tokenizer when no .model file is given)."""
+    from torchao_tpu.models.llama import cli
+
+    res = cli.main([
+        "--model_name", "tiny-debug",
+        "--prompt", "hello world",
+        "--max_new_tokens", "4",
+        "--temperature", "0.0",
+        "--write_result", str(tmp_path / "r.txt"),
+    ])
+    assert len(res["tokens"]) == 4

@@ -274,10 +274,12 @@ def int4_dq_matmul(
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
-    if variant == "batched_int8":
+    if variant == "batched_int8" and M <= 16:
+        # [bg, 3·bm, bn] f32 partials live in VMEM — a small-M (decode
+        # GEMV) design; larger M falls through to the fused variant
         return _bint8_call(
             x, wp, scale, zero,
-            group_size=g_eff, mid=mid, bm=bm, bn=bn, bkp=bkp,
+            group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret,
         )
 
@@ -327,10 +329,9 @@ def _bint8_call(
     bg = bkp // g
     nbk = Kp // bkp
 
-    # decode-shaped M: one q block holding all rows keeps the partial
-    # combine cost at bm·bg·bn
-    bm = M if M <= 32 else bm
-    assert M % bm == 0 or bm == M, (M, bm)
+    # decode-shaped M only: one block holds all rows (bm == M ≤ 16), so
+    # the f32 partials [bg, 3·bm, bn] stay well under the 16 MB VMEM cap
+    assert bm == M and M <= 16, (M, bm)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
     s_lo = scale[:nG].astype(jnp.float32)

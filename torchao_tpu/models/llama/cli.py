@@ -124,6 +124,14 @@ def main(argv=None):
     )
     p.add_argument("--write_result", default="benchmark_results.txt")
     p.add_argument("--block_size_cap", type=int, default=4096)
+    p.add_argument("--prompt", default=None,
+                   help="text prompt: tokenize, generate, print the "
+                   "decoded completion (reference generate.py --prompt)")
+    p.add_argument("--tokenizer_path", default=None,
+                   help="tiktoken .model file for --prompt "
+                   "(io.BpeTokenizer)")
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--top_k", type=int, default=200)
     args = p.parse_args(argv)
 
     margs = ModelArgs.from_name(args.model_name)
@@ -203,6 +211,28 @@ def main(argv=None):
             params, Int8WeightOnlyConfig(),
             filter_fn=lambda p, l: "tok_embeddings" in p,
         )
+
+    if args.prompt is not None:
+        from torchao_tpu.io.tokenizer import BpeTokenizer, train_byte_bpe
+
+        if args.tokenizer_path:
+            tok = BpeTokenizer.from_tiktoken_file(args.tokenizer_path)
+        else:  # byte-level fallback: lossless, ids = raw bytes
+            tok = BpeTokenizer(train_byte_bpe([], 256))
+        ids = tok.encode(args.prompt)
+        prompt_arr = jnp.asarray(ids, jnp.int32)[None, :] % margs.vocab_size
+        out = generate(
+            model, params, prompt_arr, args.max_new_tokens,
+            temperature=args.temperature, top_k=args.top_k,
+            kv_cache_quantization=args.kv_cache_quantization,
+        )
+        new_ids = [int(t) for t in out[0, prompt_arr.shape[1]:]]
+        print(args.prompt + "…" if args.checkpoint_path is None else
+              args.prompt + tok.decode(new_ids))
+        if args.checkpoint_path is None:
+            print(f"[random weights — {len(new_ids)} token ids: "
+                  f"{new_ids[:16]}…]")
+        return {"tokens": new_ids}
 
     res = benchmark_decode(
         model, params,
