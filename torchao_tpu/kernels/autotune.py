@@ -117,4 +117,23 @@ def int4_matmul_candidates(M: int, N: int, K: int, g: int):
         out.append({
             "bn": min(bn, N), "bkp": 8 * g, "variant": "group_partial",
         })
+    # batched-int8 variant (decode-shaped M only; see _kernel_bint8)
+    if M <= 16:
+        for bn in (512, 1024, 2048):
+            for bkp in (512, 1024):
+                if bkp % (8 * g) == 0:
+                    out.append({
+                        "bn": min(bn, N), "bkp": bkp,
+                        "variant": "batched_int8",
+                    })
+    return out
+
+
+def int8_matmul_candidates(M: int, N: int, K: int):
+    """Candidate blocks for the int8×int8 scaled matmul (per-step
+    overhead favors big blocks on this platform)."""
+    out = []
+    for bn in (512, 1024, 2048):
+        for bk in (512, 1024, 2048):
+            out.append({"bn": min(bn, N), "bk": min(bk, K)})
     return out

@@ -53,10 +53,13 @@ def int8_scaled_matmul(
     out_dtype=jnp.bfloat16,
     *,
     bm: Optional[int] = None,
-    bn: int = 512,
-    bk: int = 512,
+    bn: int = 1024,
+    bk: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    # block defaults match the int8wo kernel: fewer grid steps matter
+    # more than block locality on this platform (per-step overhead
+    # dominates streaming kernels — PERF.md attention finding)
     """out = (x_q @ w_q.T) * x_scale[:, None] * w_scale[None, :]."""
     M, K = x_q.shape
     N, K2 = w_q.shape
