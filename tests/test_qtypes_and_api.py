@@ -374,3 +374,109 @@ class TestSliceForServing:
             np.asarray(part.dequantize(jnp.float32)),
             np.asarray(qw.dequantize(jnp.float32))[:16],
         )
+
+
+class TestExternalKernelParityConfigs:
+    """Gemlite / Fbgemm / f8i4 config names (reference quant_api.py:935,
+    2145, 1161) mapped onto the TPU-native paths."""
+
+    def _toy(self):
+        return jnp.asarray(
+            np.random.RandomState(0).randn(256, 256), jnp.float32
+        )
+
+    def test_gemlite_4bit(self):
+        from torchao_tpu.quantization.quant_api import (
+            GemliteUIntXWeightOnlyConfig, quantize_,
+        )
+
+        p = quantize_({"w": self._toy()}, GemliteUIntXWeightOnlyConfig())
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 256), jnp.float32)
+        out = ops.linear(x, p["w"])
+        ref = jnp.matmul(x, p["w"].dequantize(jnp.float32).T)
+        assert compute_error(ref, out) > 25
+
+    def test_gemlite_8bit_dynamic(self):
+        from torchao_tpu.qtypes.composition import (
+            LinearActivationQuantizedArray,
+        )
+        from torchao_tpu.quantization.quant_api import (
+            GemliteUIntXWeightOnlyConfig, quantize_,
+        )
+
+        p = quantize_(
+            {"w": self._toy()},
+            GemliteUIntXWeightOnlyConfig(bit_width=8, mode="dynamic"),
+        )
+        assert isinstance(p["w"], LinearActivationQuantizedArray)
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 256), jnp.float32)
+        out = ops.linear(x, p["w"])
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_f8i4(self):
+        from torchao_tpu.qtypes.composition import (
+            LinearActivationQuantizedArray,
+        )
+        from torchao_tpu.quantization.quant_api import (
+            Float8DynamicActivationInt4WeightConfig, quantize_,
+        )
+
+        p = quantize_(
+            {"w": self._toy()},
+            Float8DynamicActivationInt4WeightConfig(group_size=64),
+        )
+        assert isinstance(p["w"], LinearActivationQuantizedArray)
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 256), jnp.float32)
+        out = ops.linear(x, p["w"])
+        wd = p["w"].dequantize(jnp.float32)
+        ref = jnp.matmul(x, wd.T)
+        assert compute_error(ref, out) > 15  # fp8-act QDQ noise on top
+
+    @pytest.mark.parametrize(
+        "triple",
+        [
+            ("bfloat16", "int4", "bfloat16"),
+            ("float8_e4m3fn", "int4", "bfloat16"),
+            ("float8_e4m3fn", "float8_e4m3fn", "bfloat16"),
+        ],
+    )
+    def test_fbgemm_triples(self, triple):
+        from torchao_tpu.quantization.quant_api import (
+            FbgemmConfig, quantize_,
+        )
+
+        cfg = FbgemmConfig(
+            input_dtype=triple[0], weight_dtype=triple[1],
+            output_dtype=triple[2],
+        )
+        p = quantize_({"w": self._toy()}, cfg)
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 256), jnp.float32)
+        out = ops.linear(x, p["w"])
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_fbgemm_unsupported_triple_raises(self):
+        from torchao_tpu.quantization.quant_api import (
+            FbgemmConfig, quantize_,
+        )
+
+        with pytest.raises(NotImplementedError):
+            quantize_(
+                {"w": self._toy()},
+                FbgemmConfig(weight_dtype="int2"),
+            )
+
+    def test_config_json_roundtrip(self):
+        from torchao_tpu.core.config import config_from_dict, config_to_dict
+        from torchao_tpu.quantization.quant_api import (
+            FbgemmConfig,
+            Float8DynamicActivationInt4WeightConfig,
+            GemliteUIntXWeightOnlyConfig,
+        )
+
+        for cfg in (
+            GemliteUIntXWeightOnlyConfig(bit_width=8),
+            FbgemmConfig(),
+            Float8DynamicActivationInt4WeightConfig(group_size=64),
+        ):
+            rt = config_from_dict(config_to_dict(cfg))
+            assert rt == cfg

@@ -132,31 +132,33 @@ def _kernel_bint8(
 
     xlo = x3lo_ref[:]
     xhi = x3hi_ref[:]
-    xcat = jnp.concatenate([xlo, xhi], axis=1)         # [bg, 2bm, g]
 
-    plo = jax.lax.dot_general(
-        xcat, lo3, (((2,), (1,)), ((0,), (0,))),
+    # two batched dots total:
+    #   [lo3 | b3] along the batch axis against [x_lo | x_hi] gives
+    #   P1 = x_lo@lo and P3 = x_hi@b′ in one call; P2 = x_hi@lo needs
+    #   its own (same rhs as P1, different lhs)
+    lhs = jnp.concatenate([xlo, xhi], axis=0)           # [2bg, bm, g]
+    rhs = jnp.concatenate([lo3, b3], axis=0)            # [2bg, g, bn]
+    p13 = jax.lax.dot_general(
+        lhs, rhs, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                   # [bg, 2bm, bn]
-    pb = jax.lax.dot_general(
-        xhi, b3, (((2,), (1,)), ((0,), (0,))),
+    )                                                   # [2bg, bm, bn]
+    p2 = jax.lax.dot_general(
+        xhi, lo3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                   # [bg, bm, bn]
     contrib = (
-        plo[:, :bm, :] * slo_ref[:][:, None, :]
-        + (pb - plo[:, bm:, :]) * shi16_ref[:][:, None, :]
+        p13[:bg] * slo_ref[:][:, None, :]
+        + (p13[bg:] - p2) * shi16_ref[:][:, None, :]
     )
     acc_ref[:] += jnp.sum(contrib, axis=0)
 
-    # zero terms: Σ_k x[k]·z′[k//g, n] = rowsumsᵀ @ z′ (one MXU dot each)
-    rs_lo = jnp.sum(xlo, axis=2)                        # [bg, bm]
-    rs_hi = jnp.sum(xhi, axis=2)
+    # zero terms: Σ_k x[k]·z′[k//g, n] = rowsumsᵀ @ z′, both halves in
+    # one MXU dot
+    rs = jnp.sum(lhs, axis=2)                           # [2bg, bm]
+    z2 = jnp.concatenate([z2lo_ref[:], z2hi_ref[:]], axis=0)
     acc_ref[:] += jax.lax.dot_general(
-        rs_lo, z2lo_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] += jax.lax.dot_general(
-        rs_hi, z2hi_ref[:], (((0,), (0,)), ((), ())),
+        rs, z2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -233,7 +235,7 @@ def int4_dq_matmul(
     group_size: int,
     mid: float = 8.0,
     bm: Optional[int] = None,
-    bn: int = 1024,
+    bn: Optional[int] = None,
     bkp: Optional[int] = None,
     interpret: bool = False,
     variant: str = "auto",
@@ -266,6 +268,16 @@ def int4_dq_matmul(
     bg = bkp // g_eff
     assert bg % row_mult == 0 and Kp % bkp == 0, (bg, Kp, bkp)
 
+    # decode-shaped M defaults to the batched-int8 variant: measured
+    # 59.1 vs 42.3 tok/s on the 8B int4wo-g32 headline (1.40×, 277 GB/s
+    # effective). [bg, 3·bm, bn] f32 partials live in VMEM, so it is a
+    # small-M (GEMV) design; larger M uses the fused variant.
+    if variant == "auto":
+        variant = "batched_int8" if M <= 16 else "fused"
+    if bn is None:
+        # bench-swept per variant: bint8 61.23 tok/s @ 2048 vs 59.06 @
+        # 1024 on the 8B headline; fused keeps its earlier 1024 sweep
+        bn = 2048 if variant == "batched_int8" else 1024
     bn = min(bn, N)
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)
@@ -274,12 +286,6 @@ def int4_dq_matmul(
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
-    # decode-shaped M defaults to the batched-int8 variant: measured
-    # 59.1 vs 42.3 tok/s on the 8B int4wo-g32 headline (1.40×, 277 GB/s
-    # effective). [bg, 3·bm, bn] f32 partials live in VMEM, so it is a
-    # small-M (GEMV) design; larger M uses the fused variant.
-    if variant == "auto":
-        variant = "batched_int8" if M <= 16 else "fused"
     if variant == "batched_int8" and M <= 16:
         return _bint8_call(
             x, wp, scale, zero,

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Tuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -108,6 +110,27 @@ def _int8_per_token_sym_noop_decode(x: jnp.ndarray):
     """Prefill path of weight_only_decode: same reduced-range sym quant
     (the decode-time noop is handled in the dispatch impl)."""
     return qp.quantize_activation_per_token_absmax(x)
+
+
+@register_act_quant("fp8_per_row")
+def _fp8_per_row(x: jnp.ndarray, hp_value_ub=None):
+    """Per-row (per-token) e4m3 dynamic activation quant — the
+    activation side of Float8DynamicActivationInt4WeightConfig
+    (reference ``quant_api.py:1161``, fbgemm f8i4 path). Returns the
+    scale squeezed to ``x.shape[:-1]`` (the generic LAQT QDQ path
+    re-expands it)."""
+    from torchao_tpu.qtypes.float8 import (
+        Float8ActQuantSpec,
+        quantize_activation_float8,
+    )
+
+    spec = Float8ActQuantSpec(
+        float8_dtype="float8_e4m3fn",
+        granularity="per_row",
+        hp_value_ub=hp_value_ub,
+    )
+    q, scale = quantize_activation_float8(x, spec)
+    return q, scale.reshape(x.shape[:-1])
 
 
 @register_act_quant("int8_per_token_asym")
@@ -204,6 +227,10 @@ def _check_int8_dyn_act_int8_weight(x, w, bias):
         in ("int8_per_token_sym", "int8_per_token_sym_noop_decode")
         and isinstance(w.original_weight, IntxArray)
         and w.original_weight.target_dtype == "int8"
+        # per-CHANNEL weight scales only (the int8dq scheme); grouped
+        # int8 (e.g. gemlite-8-dq) takes the generic QDQ path
+        and w.original_weight.scale.size
+        == math.prod(w.original_weight.shape[:-1])
     )
 
 

@@ -202,6 +202,49 @@ class FPXWeightOnlyConfig(AOBaseConfig):
 
 
 @dataclasses.dataclass
+class Float8DynamicActivationInt4WeightConfig(AOBaseConfig):
+    """fp8 (e4m3, per-row) dynamic activations × int4 grouped weights
+    (reference ``quant_api.py:1161-1200``, the fbgemm f8i4 preshuffled
+    kernel's config). TPU path: QDQ e4m3 activations (faithful fp8
+    rounding) into the fused int4 Pallas kernel."""
+
+    group_size: int = 128
+    version: int = 1
+
+
+@dataclasses.dataclass
+class GemliteUIntXWeightOnlyConfig(AOBaseConfig):
+    """API-parity config for the reference's gemlite Triton path
+    (``quant_api.py:935-996``): 4-bit asymmetric (HQQ, like the
+    reference's ``use_hqq=True if bit_width==4``) or 8-bit symmetric
+    weight-only, optional dynamic int8 activations (``mode="dynamic"``).
+    ``packing_bitwidth`` is a GPU packing knob — accepted, ignored
+    (K-major nibble packing is the TPU layout)."""
+
+    group_size: Optional[int] = 128
+    bit_width: int = 4
+    packing_bitwidth: Optional[int] = None
+    mode: Optional[str] = "weight_only"
+    version: int = 1
+
+
+@dataclasses.dataclass
+class FbgemmConfig(AOBaseConfig):
+    """API-parity config for the reference's fbgemm-genai kernels
+    (``quant_api.py:2145-2222``): dtype-triple dispatch onto the
+    equivalent TPU-native paths. Supported triples match the reference:
+    (bf16, int4, bf16), (e4m3, int4, bf16), (e4m3, e4m3, bf16)."""
+
+    input_dtype: str = "bfloat16"
+    weight_dtype: str = "int4"
+    output_dtype: str = "bfloat16"
+    block_size: Optional[Tuple[int, ...]] = None
+    activation_scale_ub: float = 1200.0
+    preshuffle: bool = False
+    version: int = 1
+
+
+@dataclasses.dataclass
 class ModuleFqnToConfig(AOBaseConfig):
     """Per-module-FQN config map (reference ``quant_api.py:2225-2270``).
     Keys are path regexes (fullmatch) or the special ``"_default"``."""
@@ -504,6 +547,92 @@ def _fpx_weight_only_transform(w: jnp.ndarray, config: FPXWeightOnlyConfig):
     from torchao_tpu.qtypes.floatx import FloatxArray
 
     return FloatxArray.from_hp(w, config.ebits, config.mbits)
+
+
+@register_quantize_module_handler(Float8DynamicActivationInt4WeightConfig)
+def _float8_dyn_act_int4_weight_transform(
+    w: jnp.ndarray, config: Float8DynamicActivationInt4WeightConfig
+):
+    group_size = config.group_size
+    if group_size in (None, -1):
+        group_size = w.shape[-1]
+    if w.shape[-1] % group_size != 0:
+        return w
+    block_size = tuple([1] * (w.ndim - 1) + [group_size])
+    Kp = w.shape[-1] // 2
+    tiled = (
+        w.ndim >= 2
+        and w.shape[-1] % 2 == 0
+        and Kp % max(8 * group_size, 128) == 0
+        and w.shape[-2] % 128 == 0
+    )
+    inner = IntxArray.from_hp(
+        w, MappingType.SYMMETRIC, block_size, "int4",
+        quant_min=-8, quant_max=7,
+        zero_point_domain=(
+            ZeroPointDomain.NONE if tiled else ZeroPointDomain.INT
+        ),
+        packing_format=(
+            PackingFormat.TILED_NIBBLES if tiled else PackingFormat.PLAIN
+        ),
+    )
+    return LinearActivationQuantizedArray(
+        original_weight=inner, input_quant_name="fp8_per_row"
+    )
+
+
+@register_quantize_module_handler(GemliteUIntXWeightOnlyConfig)
+def _gemlite_uintx_weight_only_transform(
+    w: jnp.ndarray, config: GemliteUIntXWeightOnlyConfig
+):
+    assert config.bit_width in (4, 8), config.bit_width
+    group_size = config.group_size or w.shape[-1]
+    if config.bit_width == 4:
+        inner = _int4_weight_only_transform(
+            w, Int4WeightOnlyConfig(group_size=group_size, use_hqq=True)
+        )
+    else:
+        block_size = tuple([1] * (w.ndim - 1) + [group_size])
+        inner = IntxArray.from_hp(
+            w, MappingType.SYMMETRIC, block_size, "int8"
+        )
+    if config.mode == "dynamic":
+        return LinearActivationQuantizedArray(
+            original_weight=inner, input_quant_name="int8_per_token_sym"
+        )
+    return inner
+
+
+@register_quantize_module_handler(FbgemmConfig)
+def _fbgemm_config_transform(w: jnp.ndarray, config: FbgemmConfig):
+    triple = (
+        str(config.input_dtype), str(config.weight_dtype),
+        str(config.output_dtype),
+    )
+    group_size = (
+        config.block_size[-1] if config.block_size else 128
+    )
+    if triple == ("bfloat16", "int4", "bfloat16"):
+        return _int4_weight_only_transform(
+            w, Int4WeightOnlyConfig(group_size=group_size)
+        )
+    if triple == ("float8_e4m3fn", "int4", "bfloat16"):
+        return _float8_dyn_act_int4_weight_transform(
+            w, Float8DynamicActivationInt4WeightConfig(
+                group_size=group_size
+            )
+        )
+    if triple == ("float8_e4m3fn", "float8_e4m3fn", "bfloat16"):
+        return _float8_dyn_act_float8_weight_transform(
+            w, Float8DynamicActivationFloat8WeightConfig(
+                granularity=PerRow(),
+                activation_value_ub=config.activation_scale_ub,
+            )
+        )
+    raise NotImplementedError(
+        f"FbgemmConfig triple {triple} is not supported (reference "
+        "supports the same three: quant_api.py:2168-2170)"
+    )
 
 
 # ---------------------------------------------------------------------------
