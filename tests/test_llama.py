@@ -220,3 +220,93 @@ class TestPrefillFlashBlocking:
         np.testing.assert_allclose(
             np.asarray(blocked), ref, rtol=0, atol=2e-2
         )
+
+
+class TestInt4KVCache:
+    """int4 quantized KV cache (packed 2-per-uint8 along Dh) — the
+    north-star capability beyond the reference's int8 cache."""
+
+    def test_kernel_matches_oracle_int4(self):
+        from torchao_tpu.kernels.quantized_attention import (
+            quantized_kv_decode_attention,
+            quantized_kv_decode_attention_reference,
+        )
+
+        rng = np.random.RandomState(21)
+        B, Hkv, G, Dh, S = 2, 2, 4, 64, 32
+        q = jnp.asarray(rng.randn(B, Hkv, G, Dh), jnp.bfloat16)
+        packed = jnp.asarray(
+            rng.randint(0, 256, (B, Hkv, S, Dh // 2)), jnp.uint8
+        )
+        vpacked = jnp.asarray(
+            rng.randint(0, 256, (B, Hkv, S, Dh // 2)), jnp.uint8
+        )
+        k_s = jnp.asarray(rng.rand(B, Hkv, S, 1) * 0.1, jnp.bfloat16)
+        v_s = jnp.asarray(rng.rand(B, Hkv, S, 1) * 0.1, jnp.bfloat16)
+        pos = jnp.asarray([5, 9], jnp.int32)
+        out = quantized_kv_decode_attention(
+            q, packed, k_s, vpacked, v_s, pos, bs=8, interpret=True
+        )
+        ref = quantized_kv_decode_attention_reference(
+            q, packed, k_s, vpacked, v_s, pos
+        )
+        err = compute_error(
+            jnp.asarray(ref, jnp.float32), jnp.asarray(out, jnp.float32)
+        )
+        assert err > 30, err
+
+    def test_quantize_pack_roundtrip(self):
+        from torchao_tpu.models.llama.model import (
+            _dequantize_kv_int4, _quantize_kv_int4,
+        )
+
+        x = jnp.asarray(
+            np.random.RandomState(22).randn(1, 2, 8, 64), jnp.float32
+        )
+        p, s = _quantize_kv_int4(x)
+        assert p.dtype == jnp.uint8 and p.shape[-1] == 32
+        dq = _dequantize_kv_int4(p, s, jnp.float32)
+        assert compute_error(x, dq) > 13  # ~4-bit fidelity
+
+    def test_model_int4_cache_close(self, model_and_params):
+        model, params = model_and_params
+        toks = jnp.asarray(
+            np.random.RandomState(23).randint(0, 512, (1, 8)), jnp.int32
+        )
+        cache = model.setup_caches(1, 8)
+        q4cache = model.setup_caches(1, 8, quantize="int4")
+        assert q4cache["k_q"].dtype == jnp.uint8
+        l_ref, _ = model(params, toks, 0, cache)
+        l_q4, _ = model(params, toks, 0, q4cache)
+        assert compute_error(l_ref, l_q4) > 12  # int4 KV ~4-bit fidelity
+
+    def test_pallas_path_matches_xla_int4(self, model_and_params, monkeypatch):
+        import torchao_tpu.models.llama.model as M
+
+        model, params = model_and_params
+        toks = jnp.asarray(
+            np.random.RandomState(24).randint(0, 512, (2, 6)), jnp.int32
+        )
+        monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: False)
+        c_ref = model.setup_caches(2, 8, quantize="int4")
+        l_ref, c_ref = model(params, toks, 0, c_ref)
+        nxt = jnp.argmax(l_ref[:, -1], -1).astype(jnp.int32)[:, None]
+        d_ref, _ = model(params, nxt, 6, c_ref)
+
+        monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: True)
+        c_k = model.setup_caches(2, 8, quantize="int4")
+        l_k, c_k = model(params, toks, 0, c_k)
+        d_k, _ = model(params, nxt, 6, c_k)
+        assert compute_error(l_ref, l_k) > 30
+        assert compute_error(d_ref, d_k) > 30
+
+    def test_generate_with_int4_kv(self, model_and_params):
+        model, params = model_and_params
+        prompt = jnp.asarray(
+            np.random.RandomState(25).randint(0, 512, (1, 4)), jnp.int32
+        )
+        out = generate(
+            model, params, prompt, 4, temperature=0.0, top_k=None,
+            kv_cache_quantization="int4",
+        )
+        assert out.shape == (1, 8)

@@ -132,33 +132,31 @@ def _kernel_bint8(
 
     xlo = x3lo_ref[:]
     xhi = x3hi_ref[:]
+    xcat = jnp.concatenate([xlo, xhi], axis=1)         # [bg, 2bm, g]
 
-    # two batched dots total:
-    #   [lo3 | b3] along the batch axis against [x_lo | x_hi] gives
-    #   P1 = x_lo@lo and P3 = x_hi@b′ in one call; P2 = x_hi@lo needs
-    #   its own (same rhs as P1, different lhs)
-    lhs = jnp.concatenate([xlo, xhi], axis=0)           # [2bg, bm, g]
-    rhs = jnp.concatenate([lo3, b3], axis=0)            # [2bg, g, bn]
-    p13 = jax.lax.dot_general(
-        lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+    plo = jax.lax.dot_general(
+        xcat, lo3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                   # [2bg, bm, bn]
-    p2 = jax.lax.dot_general(
-        xhi, lo3, (((2,), (1,)), ((0,), (0,))),
+    )                                                   # [bg, 2bm, bn]
+    pb = jax.lax.dot_general(
+        xhi, b3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                   # [bg, bm, bn]
     contrib = (
-        p13[:bg] * slo_ref[:][:, None, :]
-        + (p13[bg:] - p2) * shi16_ref[:][:, None, :]
+        plo[:, :bm, :] * slo_ref[:][:, None, :]
+        + (pb - plo[:, bm:, :]) * shi16_ref[:][:, None, :]
     )
     acc_ref[:] += jnp.sum(contrib, axis=0)
 
-    # zero terms: Σ_k x[k]·z′[k//g, n] = rowsumsᵀ @ z′, both halves in
-    # one MXU dot
-    rs = jnp.sum(lhs, axis=2)                           # [2bg, bm]
-    z2 = jnp.concatenate([z2lo_ref[:], z2hi_ref[:]], axis=0)
+    # zero terms: Σ_k x[k]·z′[k//g, n] = rowsumsᵀ @ z′ (one MXU dot each)
+    rs_lo = jnp.sum(xlo, axis=2)                        # [bg, bm]
+    rs_hi = jnp.sum(xhi, axis=2)
     acc_ref[:] += jax.lax.dot_general(
-        rs, z2, (((0,), (0,)), ((), ())),
+        rs_lo, z2lo_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        rs_hi, z2hi_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -235,7 +233,7 @@ def int4_dq_matmul(
     group_size: int,
     mid: float = 8.0,
     bm: Optional[int] = None,
-    bn: Optional[int] = None,
+    bn: int = 1024,
     bkp: Optional[int] = None,
     interpret: bool = False,
     variant: str = "auto",
@@ -274,10 +272,10 @@ def int4_dq_matmul(
     # small-M (GEMV) design; larger M uses the fused variant.
     if variant == "auto":
         variant = "batched_int8" if M <= 16 else "fused"
-    if bn is None:
-        # bench-swept per variant: bint8 61.23 tok/s @ 2048 vs 59.06 @
-        # 1024 on the 8B headline; fused keeps its earlier 1024 sweep
-        bn = 2048 if variant == "batched_int8" else 1024
+    if bn == 1024 and variant == "batched_int8" and M <= 8:
+        # bench-swept: 61.23 tok/s @ bn=2048 vs 59.06 @ 1024 (8B
+        # headline, M=1); M>8 keeps 1024 (3·bm·bg·bn f32 partials)
+        bn = 2048
     bn = min(bn, N)
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)

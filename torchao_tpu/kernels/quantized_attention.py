@@ -27,16 +27,33 @@ from torchao_tpu.utils import cdiv
 NEG_INF = -1e30
 
 
+def _dequant_kv_block(q8, sc, kv_bits: int):
+    """Dequantize one KV block in VMEM. int8: plain cast·scale. int4:
+    bytes pack elements (d, d + Dh/2) as ``(q_lo+8) | ((q_hi+8)<<4)``;
+    unpack uses the XOR-rebias identity ``(b ^ 0x80) as i8 = lo_u +
+    16·q_hi`` (Mosaic legalizes no u8→bf16 casts and no sub-i32 shifts
+    — see int4_matmul.py)."""
+    if kv_bits == 8:
+        return q8.astype(jnp.bfloat16) * sc.astype(jnp.bfloat16)
+    lo_u = (q8 & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
+    bp = (q8 ^ jnp.uint8(0x80)).astype(jnp.int8).astype(jnp.bfloat16)
+    lo = lo_u - jnp.bfloat16(8.0)                       # q_lo
+    hi = (bp - lo_u) * jnp.bfloat16(0.0625)             # q_hi
+    full = jnp.concatenate([lo, hi], axis=-1)           # [bs, Dh]
+    return full * sc.astype(jnp.bfloat16)
+
+
 def _kernel(
     pos_ref,  # scalar prefetch: [B] int32 — position of the FIRST query
     q_ref,    # [1, 1, bq, Dh] bf16 — rows t-major (global row r → t=r//G)
-    kq_ref,   # [1, 1, bs, Dh] int8
+    kq_ref,   # [1, 1, bs, Dh] int8 — or [.., Dh/2] uint8 when kv_bits=4
     ks_ref,   # [1, 1, bs, 1] bf16
-    vq_ref,   # [1, 1, bs, Dh] int8
+    vq_ref,   # [1, 1, bs, Dh] int8 — or packed uint8
     vs_ref,   # [1, 1, bs, 1] bf16
     out_ref,  # [1, 1, bq, Dh] f32
     m_ref, l_ref, acc_ref,
     *, bs: int, scale: float, n_s_blocks: int, rows_per_t: int,
+    kv_bits: int = 8,
 ):
     s = pl.program_id(3)
 
@@ -58,9 +75,7 @@ def _kernel(
     @pl.when(block_start <= pos + t_max)
     def _():
         q = q_ref[0, 0]                      # [bq, Dh]
-        k = kq_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(
-            jnp.bfloat16
-        )                                     # [bs, Dh]
+        k = _dequant_kv_block(kq_ref[0, 0], ks_ref[0, 0], kv_bits)
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -79,9 +94,7 @@ def _kernel(
         p = jnp.exp(scores - m_new)           # [G, bs]
         alpha = jnp.exp(m_old - m_new)        # [G, 1]
 
-        v = vq_ref[0, 0].astype(jnp.bfloat16) * vs_ref[0, 0].astype(
-            jnp.bfloat16
-        )                                     # [bs, Dh]
+        v = _dequant_kv_block(vq_ref[0, 0], vs_ref[0, 0], kv_bits)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -118,11 +131,18 @@ def quantized_kv_decode_attention(
     default; for prefill pass ``rows_per_t=G`` with R = T·G rows and
     causal masking ``key ≤ pos + t`` is applied per query row. Long
     prefills additionally block over query rows (``bq``) — full
-    flash-attention tiling, O(bq·bs) VMEM instead of O(R·S)."""
+    flash-attention tiling, O(bq·bs) VMEM instead of O(R·S).
+
+    ``k_q``/``v_q`` may be int8 [B, Hkv, S, Dh], or int4 packed
+    2-per-uint8 along Dh ([B, Hkv, S, Dh/2]; byte d packs elements d
+    and d + Dh/2, offset-binary nibbles) — kv_bits inferred from the
+    last-dim ratio."""
     B, Hkv, R, Dh = q.shape
     if rows_per_t is None:
         rows_per_t = R
     S = k_q.shape[2]
+    kv_bits = 4 if k_q.shape[-1] * 2 == Dh else 8
+    dh_store = k_q.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
     bs = min(bs, S)
@@ -145,13 +165,13 @@ def quantized_kv_decode_attention(
                 (1, 1, bq, Dh), lambda b, h, iq, s, *p: (b, h, iq, 0)
             ),
             pl.BlockSpec(
-                (1, 1, bs, Dh), lambda b, h, iq, s, *p: (b, h, s, 0)
+                (1, 1, bs, dh_store), lambda b, h, iq, s, *p: (b, h, s, 0)
             ),
             pl.BlockSpec(
                 (1, 1, bs, 1), lambda b, h, iq, s, *p: (b, h, s, 0)
             ),
             pl.BlockSpec(
-                (1, 1, bs, Dh), lambda b, h, iq, s, *p: (b, h, s, 0)
+                (1, 1, bs, dh_store), lambda b, h, iq, s, *p: (b, h, s, 0)
             ),
             pl.BlockSpec(
                 (1, 1, bs, 1), lambda b, h, iq, s, *p: (b, h, s, 0)
@@ -168,7 +188,7 @@ def quantized_kv_decode_attention(
     )
     kernel = functools.partial(
         _kernel, bs=bs, scale=scale, n_s_blocks=n_s,
-        rows_per_t=rows_per_t,
+        rows_per_t=rows_per_t, kv_bits=kv_bits,
     )
     out_call = pl.pallas_call(
         kernel,
@@ -182,17 +202,28 @@ def quantized_kv_decode_attention(
     return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
 
 
+def _unpack_kv4(p):
+    lo = (p & jnp.uint8(0xF)).astype(jnp.int32) - 8
+    hi = (p >> 4).astype(jnp.int32) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
 def quantized_kv_decode_attention_reference(
     q, k_q, k_scale, v_q, v_scale, pos, scale=None
 ):
     """jnp oracle: dequantize the whole cache (the reference model's own
-    strategy) and run masked softmax attention."""
+    strategy) and run masked softmax attention. Accepts int8 or packed
+    int4 KV."""
     B, Hkv, G, Dh = q.shape
     S = k_q.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
-    k = k_q.astype(jnp.float32) * k_scale.astype(jnp.float32)
-    v = v_q.astype(jnp.float32) * v_scale.astype(jnp.float32)
+    if k_q.shape[-1] * 2 == Dh:  # packed int4
+        k = _unpack_kv4(k_q) * k_scale.astype(jnp.float32)
+        v = _unpack_kv4(v_q) * v_scale.astype(jnp.float32)
+    else:
+        k = k_q.astype(jnp.float32) * k_scale.astype(jnp.float32)
+        v = v_q.astype(jnp.float32) * v_scale.astype(jnp.float32)
     scores = jnp.einsum(
         "bhgd,bhsd->bhgs", q.astype(jnp.float32), k
     ) * scale

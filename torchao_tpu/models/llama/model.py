@@ -208,13 +208,18 @@ def init_kv_cache(
     batch_size: int,
     max_seq_len: int,
     dtype=jnp.bfloat16,
-    quantize: bool = False,
+    quantize=False,
 ) -> Dict[str, jnp.ndarray]:
     """Static-shape KV cache pytree with leading layer axis.
 
     bf16: ``{"k","v": [L, B, Hkv, S, Dh]}`` (reference ``KVCache:166``).
-    int8: adds per-token-absmax scales ``[L, B, Hkv, S, 1]`` (reference
-    ``AffineQuantizedKVCache:198``).
+    ``quantize=True``/``"int8"``: adds per-token-absmax scales
+    ``[L, B, Hkv, S, 1]`` (reference ``AffineQuantizedKVCache:198``).
+    ``quantize="int4"``: symmetric int4 KV packed 2-per-uint8 along Dh
+    (byte d holds elements d and d + Dh/2 as offset-binary nibbles) —
+    half the cache bytes of int8; the Pallas attention kernel unpacks
+    in VMEM (north-star int4 KV-cache capability; the reference only
+    ships int8).
     """
     shape = (
         args.n_layer, batch_size, args.n_local_heads, max_seq_len,
@@ -224,6 +229,16 @@ def init_kv_cache(
         return {
             "k": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype),
+        }
+    if quantize == "int4":
+        assert args.head_dim % 2 == 0
+        pshape = shape[:-1] + (args.head_dim // 2,)
+        sshape = shape[:-1] + (1,)
+        return {
+            "k_q": jnp.zeros(pshape, jnp.uint8),
+            "v_q": jnp.zeros(pshape, jnp.uint8),
+            "k_scale": jnp.zeros(sshape, dtype),
+            "v_scale": jnp.zeros(sshape, dtype),
         }
     sshape = shape[:-1] + (1,)
     return {
@@ -241,6 +256,33 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     ``AffineQuantizedKVCache.update`` (model.py:221-231)."""
     q, scale = qp.quantize_activation_per_token_absmax(x)
     return q, scale[..., None].astype(x.dtype)
+
+
+def _quantize_kv_int4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token absmax symmetric int4, packed 2-per-uint8 along Dh:
+    byte d = (q[d]+8) | ((q[d+Dh/2]+8) << 4) — the layout the Pallas
+    attention kernel unpacks with the XOR-rebias identity."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax, 1e-5) / 7.0
+    q = jnp.clip(jnp.round(xf / s), -8, 7).astype(jnp.int32) + 8
+    qu = q.astype(jnp.uint8)
+    half = x.shape[-1] // 2
+    packed = qu[..., :half] | (qu[..., half:] << 4)
+    return packed, s.astype(x.dtype)
+
+
+def _dequantize_kv_int4(p: jnp.ndarray, s: jnp.ndarray, dtype):
+    lo = (p & 0xF).astype(jnp.int32) - 8
+    hi = (p >> 4).astype(jnp.int32) - 8
+    full = jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+    return full * s.astype(dtype)
+
+
+def _kv_is_int4(layer_cache) -> bool:
+    return (
+        "k_q" in layer_cache and layer_cache["k_q"].dtype == jnp.uint8
+    )
 
 
 def _cache_write(cache_arr, new_vals, input_pos):
@@ -272,8 +314,9 @@ def _update_layer_cache(
         v_cache = _cache_write(layer_cache["v"], v, input_pos)
         return k_cache, v_cache, {"k": k_cache, "v": v_cache}
 
-    k_q, k_s = _quantize_kv(k)
-    v_q, v_s = _quantize_kv(v)
+    qfn = _quantize_kv_int4 if _kv_is_int4(layer_cache) else _quantize_kv
+    k_q, k_s = qfn(k)
+    v_q, v_s = qfn(v)
     new = {
         "k_q": _cache_write(layer_cache["k_q"], k_q, input_pos),
         "v_q": _cache_write(layer_cache["v_q"], v_q, input_pos),
@@ -281,10 +324,14 @@ def _update_layer_cache(
         "v_scale": _cache_write(layer_cache["v_scale"], v_s, input_pos),
     }
     # XLA path dequantizes the whole cache (like the reference,
-    # model.py:228-231); the Pallas attention kernel consumes int8 + scales
-    # directly instead.
-    k_full = new["k_q"].astype(k.dtype) * new["k_scale"].astype(k.dtype)
-    v_full = new["v_q"].astype(v.dtype) * new["v_scale"].astype(v.dtype)
+    # model.py:228-231); the Pallas attention kernel consumes the int
+    # values + scales directly instead.
+    if _kv_is_int4(layer_cache):
+        k_full = _dequantize_kv_int4(new["k_q"], new["k_scale"], k.dtype)
+        v_full = _dequantize_kv_int4(new["v_q"], new["v_scale"], v.dtype)
+    else:
+        k_full = new["k_q"].astype(k.dtype) * new["k_scale"].astype(k.dtype)
+        v_full = new["v_q"].astype(v.dtype) * new["v_scale"].astype(v.dtype)
     return k_full, v_full, new
 
 
@@ -352,8 +399,12 @@ def _attention(
                 quantized_kv_decode_attention,
             )
 
-            k_qv, k_s = _quantize_kv(k)
-            v_qv, v_s = _quantize_kv(v)
+            qfn = (
+                _quantize_kv_int4 if _kv_is_int4(layer_cache)
+                else _quantize_kv
+            )
+            k_qv, k_s = qfn(k)
+            v_qv, v_s = qfn(v)
             new_cache = {
                 "k_q": _cache_write(layer_cache["k_q"], k_qv, input_pos),
                 "v_q": _cache_write(layer_cache["v_q"], v_qv, input_pos),
