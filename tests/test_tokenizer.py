@@ -71,9 +71,14 @@ class TestTokenizer:
         assert tok.decode(tok.encode(s)) == s
 
     def test_special_tokens(self, tok):
-        ids = tok.encode("the<|eot|>dog")
+        ids = tok.encode("the<|eot|>dog", allow_special=True)
         assert tok.special_tokens["<|eot|>"] in ids
         assert tok.decode(ids) == "the<|eot|>dog"
+        # default (tiktoken parity): specials in plain text are NOT
+        # converted to control ids — no prompt injection
+        plain = tok.encode("the<|eot|>dog")
+        assert tok.special_tokens["<|eot|>"] not in plain
+        assert tok.decode(plain) == "the<|eot|>dog"
 
     def test_compression(self, tok):
         s = "the the the the the"

@@ -184,8 +184,12 @@ class BpeTokenizer:
         return _bpe_merge_py(self.ranks, piece)
 
     def encode(
-        self, text: str, *, allow_special: bool = True
+        self, text: str, *, allow_special: bool = False
     ) -> List[int]:
+        """Encode text to ids. ``allow_special=False`` (default, tiktoken
+        parity): special-token strings inside the text are encoded as
+        plain bytes, so prompt content can't inject control tokens; pass
+        True for template strings that intentionally contain specials."""
         ids: List[int] = []
         segments = [(text, None)]
         if allow_special and self._special_pat is not None:

@@ -233,7 +233,7 @@ def int4_dq_matmul(
     group_size: int,
     mid: float = 8.0,
     bm: Optional[int] = None,
-    bn: int = 1024,
+    bn: Optional[int] = None,
     bkp: Optional[int] = None,
     interpret: bool = False,
     variant: str = "auto",
@@ -272,10 +272,21 @@ def int4_dq_matmul(
     # small-M (GEMV) design; larger M uses the fused variant.
     if variant == "auto":
         variant = "batched_int8" if M <= 16 else "fused"
-    if bn == 1024 and variant == "batched_int8" and M <= 8:
+    elif variant == "batched_int8" and M > 16:
+        # can't honor: [bg, 3·bm, bn] f32 partials exceed VMEM at this M
+        import warnings
+
+        warnings.warn(
+            f"variant='batched_int8' requires M <= 16 (got M={M}); "
+            "running the fused variant instead"
+        )
+        variant = "fused"
+    if bn is None:
         # bench-swept: 61.23 tok/s @ bn=2048 vs 59.06 @ 1024 (8B
         # headline, M=1); M>8 keeps 1024 (3·bm·bg·bn f32 partials)
-        bn = 2048
+        bn = (
+            2048 if (variant == "batched_int8" and M <= 8) else 1024
+        )
     bn = min(bn, N)
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)

@@ -135,9 +135,23 @@ def int8_scaled_matmul_available(x_q, w):
     def impl(x_q_in, x_scale, w_arr, out_hp_dtype):
         x2 = x_q_in.reshape(-1, K)
         w_scale = w_arr.scale.reshape(-1)
+        from torchao_tpu.kernels.autotune import (
+            int8_matmul_candidates,
+            lookup_or_tune,
+        )
+
+        kw = lookup_or_tune(
+            "int8_scaled_matmul",
+            (x2.shape[0], N, K),
+            int8_matmul_candidates(x2.shape[0], N, K),
+            lambda cfg: int8_scaled_matmul(
+                x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
+                out_dtype=out_hp_dtype, **cfg,
+            ),
+        ) or {}
         out = int8_scaled_matmul(
             x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
-            out_dtype=out_hp_dtype,
+            out_dtype=out_hp_dtype, **kw,
         )
         return out.reshape(x_q_in.shape[:-1] + (N,))
 

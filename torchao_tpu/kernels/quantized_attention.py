@@ -202,10 +202,14 @@ def quantized_kv_decode_attention(
     return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
 
 
-def _unpack_kv4(p):
+def unpack_int4_kv(p: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """XLA-level unpack of the packed int4 KV layout (byte d holds
+    elements d and d + Dh/2 as offset-binary nibbles) — the single
+    source of truth for the layout outside the Mosaic kernel (which
+    needs its own cast-legal formulation in ``_dequant_kv_block``)."""
     lo = (p & jnp.uint8(0xF)).astype(jnp.int32) - 8
     hi = (p >> 4).astype(jnp.int32) - 8
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
 
 
 def quantized_kv_decode_attention_reference(
@@ -219,8 +223,8 @@ def quantized_kv_decode_attention_reference(
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
     if k_q.shape[-1] * 2 == Dh:  # packed int4
-        k = _unpack_kv4(k_q) * k_scale.astype(jnp.float32)
-        v = _unpack_kv4(v_q) * v_scale.astype(jnp.float32)
+        k = unpack_int4_kv(k_q) * k_scale.astype(jnp.float32)
+        v = unpack_int4_kv(v_q) * v_scale.astype(jnp.float32)
     else:
         k = k_q.astype(jnp.float32) * k_scale.astype(jnp.float32)
         v = v_q.astype(jnp.float32) * v_scale.astype(jnp.float32)

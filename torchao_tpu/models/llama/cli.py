@@ -227,11 +227,14 @@ def main(argv=None):
             kv_cache_quantization=args.kv_cache_quantization,
         )
         new_ids = [int(t) for t in out[0, prompt_arr.shape[1]:]]
-        print(args.prompt + "…" if args.checkpoint_path is None else
-              args.prompt + tok.decode(new_ids))
-        if args.checkpoint_path is None:
-            print(f"[random weights — {len(new_ids)} token ids: "
-                  f"{new_ids[:16]}…]")
+        if args.tokenizer_path:
+            # real vocab: model ids map to token bytes
+            print(args.prompt + tok.decode(new_ids))
+        else:
+            # byte-fallback tokenizer only covers ids < 256 — model ids
+            # are NOT decodable; print them instead
+            print(f"{args.prompt} → {len(new_ids)} token ids: "
+                  f"{new_ids[:32]}")
         return {"tokens": new_ids}
 
     res = benchmark_decode(

@@ -273,10 +273,9 @@ def _quantize_kv_int4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _dequantize_kv_int4(p: jnp.ndarray, s: jnp.ndarray, dtype):
-    lo = (p & 0xF).astype(jnp.int32) - 8
-    hi = (p >> 4).astype(jnp.int32) - 8
-    full = jnp.concatenate([lo, hi], axis=-1).astype(dtype)
-    return full * s.astype(dtype)
+    from torchao_tpu.kernels.quantized_attention import unpack_int4_kv
+
+    return unpack_int4_kv(p, dtype) * s.astype(dtype)
 
 
 def _kv_is_int4(layer_cache) -> bool:
