@@ -123,3 +123,52 @@ def test_spinquant_spreads_outliers():
     before = kurtosis_proxy(w)
     after = kurtosis_proxy(rotated["layers"]["feed_forward"]["w1"])
     assert after < before / 2, (before, after)
+
+
+class TestR3:
+    """Online R3 (q/k Hadamard): score-invariant, improves KV-quant
+    fidelity on outlier-heavy keys."""
+
+    def _model(self, r3):
+        from torchao_tpu.models.llama.model import ModelArgs, Transformer
+
+        args = ModelArgs(
+            block_size=64, vocab_size=256, n_layer=2, n_head=4,
+            n_local_heads=2, dim=64, intermediate_size=128,
+            use_r3_hadamard=r3,
+        )
+        return Transformer(args, dtype=jnp.float32)
+
+    def test_float_equivalence(self):
+        m0, m1 = self._model(False), self._model(True)
+        params = m0.init_params(jax.random.PRNGKey(0))
+        toks = jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (1, 8)), jnp.int32
+        )
+        l0, _ = m0(params, toks)
+        l1, _ = m1(params, toks)
+        err = compute_error(l0, l1)
+        assert err > 50, err  # orthonormal rotation: fp-exact-ish
+
+    def test_improves_outlier_kv_quantization(self):
+        """Synthetic outlier channel: R3 spreads it across Dh, so
+        per-token absmax int4 quantization loses less signal."""
+        from torchao_tpu.kernels.quantized_attention import unpack_int4_kv
+        from torchao_tpu.models.llama.model import _quantize_kv_int4
+        from torchao_tpu.prototype.spinquant.hadamard_utils import (
+            apply_hadamard,
+        )
+
+        rng = np.random.RandomState(1)
+        k = rng.randn(1, 2, 16, 64).astype(np.float32)
+        k[..., 0] *= 50.0  # one outlier channel dominates absmax
+        k = jnp.asarray(k)
+
+        def int4_qdq_err(x):
+            p, s = _quantize_kv_int4(x)
+            dq = unpack_int4_kv(p, jnp.float32) * s
+            return float(compute_error(x, dq))
+
+        base = int4_qdq_err(k)
+        rot = int4_qdq_err(apply_hadamard(k))
+        assert rot > base + 6, (base, rot)  # ≥6 dB better under rotation

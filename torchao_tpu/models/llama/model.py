@@ -54,6 +54,11 @@ class ModelArgs:
     # (w2 must have been folded by prototype.spinquant.apply_spinquant
     # with r4=True — see that module's docstring).
     use_r4_hadamard: bool = False
+    # SpinQuant R3: online per-head Hadamard on q and k after RoPE.
+    # Score-invariant ((qH)(kH)ᵀ = qkᵀ), so it needs no weight folding;
+    # its purpose is flattening K's per-token distribution before the
+    # quantized KV cache (int8/int4) quantizes it.
+    use_r3_hadamard: bool = False
 
     def __post_init__(self):
         if self.n_local_heads == -1:
@@ -388,6 +393,17 @@ def _attention(
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
+
+    if args.use_r3_hadamard:
+        # SpinQuant R3: orthonormal per-head rotation of q/k — attention
+        # scores are unchanged, but K reaching the quantized KV cache is
+        # outlier-flattened (better int8/int4 per-token quantization)
+        from torchao_tpu.prototype.spinquant.hadamard_utils import (
+            apply_hadamard,
+        )
+
+        q = apply_hadamard(q)
+        k = apply_hadamard(k)
 
     if layer_cache is not None:
         # quantized cache on TPU → Pallas flash kernel consuming int8 KV

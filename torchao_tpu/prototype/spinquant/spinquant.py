@@ -29,9 +29,15 @@ improving low-bit quantization.
   the model with ``ModelArgs.use_r4_hadamard=True`` (see
   ``models/llama/model.py``).
 
-R3 (online rotation of the KV cache q/k path) is intentionally not
-implemented — the reference guards it behind "not much impact" and it
-conflicts with our quantized-KV Pallas attention layout.
+- **R3** (q/k head-dim rotation, *online*): enabled with
+  ``ModelArgs.use_r3_hadamard=True`` — an orthonormal per-head Hadamard
+  on q and k after RoPE. Attention scores are invariant
+  ((q·H)(k·H)ᵀ = q·kᵀ) so no weights change; the point is flattening
+  K's outliers before the quantized (int8/int4) KV cache quantizes
+  per-token (measured ≥6 dB int4-KV fidelity gain on outlier-heavy
+  keys — tests/test_spinquant.py::TestR3). Works with the Pallas
+  quantized-KV attention unchanged, since the rotation happens before
+  cache write.
 """
 
 from __future__ import annotations
