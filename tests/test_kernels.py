@@ -426,3 +426,65 @@ def test_int4_batched_int8_variant_matches():
     assert compute_error(
         jnp.asarray(ref0, jnp.float32), jnp.asarray(out0, jnp.float32)
     ) > 40
+
+
+def test_int4_scale_eff_precompute_matches_derived():
+    """from_hp populates scale_eff/zero_eff on TILED weights and the
+    kernel produces identical results whether qparams are precomputed
+    or derived per call."""
+    from torchao_tpu.kernels.int4_matmul import int4_dq_matmul
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig, quantize_,
+    )
+
+    rng = np.random.RandomState(9)
+    N, K, g = 256, 1024, 32
+    w = jnp.asarray(rng.randn(N, K), jnp.bfloat16)
+    qw = quantize_({"w": w}, Int4WeightOnlyConfig(group_size=g))["w"]
+    assert qw.scale_eff is not None and qw.zero_eff is not None
+    assert qw.scale_eff.shape == qw.scale.shape
+    # hi-half rows are exactly scale/16 (power of two, exact in bf16)
+    nG = qw.scale.shape[0] // 2
+    np.testing.assert_array_equal(
+        np.asarray(qw.scale_eff[nG:], np.float32),
+        np.asarray(qw.scale[nG:], np.float32) / 16.0,
+    )
+
+    x = jnp.asarray(rng.randn(4, K), jnp.bfloat16)
+    out_derived = int4_dq_matmul(
+        x, qw.qdata, qw.scale, qw.zero_point,
+        group_size=g, variant="batched_int8", interpret=True,
+    )
+    out_pre = int4_dq_matmul(
+        x, qw.qdata, qw.scale, qw.zero_point,
+        qw.scale_eff, qw.zero_eff,
+        group_size=g, variant="batched_int8", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_derived, np.float32),
+        np.asarray(out_pre, np.float32),
+        rtol=2e-2, atol=2e-2,  # bf16-vs-f32 scale rounding only
+    )
+
+
+def test_int4_kernel_accepts_hqq_int_domain():
+    """HQQ int4 (INT zero-point domain) routes through the Pallas kernel
+    via the precomputed float-equivalent zero (z = (mid-zp)*s)."""
+    from torchao_tpu.kernels.int4_matmul import int4_dq_matmul_available
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig, quantize_,
+    )
+    from torchao_tpu import ops
+
+    rng = np.random.RandomState(13)
+    w = jnp.asarray(rng.randn(256, 1024), jnp.float32)
+    qw = quantize_(
+        {"w": w}, Int4WeightOnlyConfig(group_size=32, use_hqq=True)
+    )["w"]
+    assert qw.zero_eff is not None
+    assert int4_dq_matmul_available(None, qw) is not None
+
+    x = jnp.asarray(rng.randn(2, 1024), jnp.float32)
+    out = ops.linear(x, qw)
+    ref = jnp.matmul(x, qw.dequantize(jnp.float32).T)
+    assert compute_error(ref, out) > 25, compute_error(ref, out)

@@ -142,9 +142,12 @@ def _kernel_bint8(
         xhi, b3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                   # [bg, bm, bn]
+    # scale refs may be f32 (derived per call) or bf16 (precomputed
+    # ``scale_eff`` leaves); cast-in-VMEM is per scale element, cheap
     contrib = (
-        plo[:, :bm, :] * slo_ref[:][:, None, :]
-        + (pb - plo[:, bm:, :]) * shi16_ref[:][:, None, :]
+        plo[:, :bm, :] * slo_ref[:].astype(jnp.float32)[:, None, :]
+        + (pb - plo[:, bm:, :])
+        * shi16_ref[:].astype(jnp.float32)[:, None, :]
     )
     acc_ref[:] += jnp.sum(contrib, axis=0)
 
@@ -229,6 +232,8 @@ def int4_dq_matmul(
     wp: jnp.ndarray,       # [K/2, N] uint8, K-major half-split nibbles
     scale: jnp.ndarray,    # [K/g, N]
     zero: jnp.ndarray,     # [K/g, N] (FLOAT zero-point domain)
+    scale_eff: Optional[jnp.ndarray] = None,  # [K/g, N] bf16, hi rows ÷16
+    zero_eff: Optional[jnp.ndarray] = None,   # [K/g, N] bf16, pre-biased
     *,
     group_size: int,
     mid: float = 8.0,
@@ -297,7 +302,7 @@ def int4_dq_matmul(
 
     if variant == "batched_int8" and M <= 16:
         return _bint8_call(
-            x, wp, scale, zero,
+            x, wp, scale, zero, scale_eff, zero_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret,
         )
@@ -338,7 +343,8 @@ def int4_dq_matmul(
 
 
 def _bint8_call(
-    x, wp, scale, zero, *, group_size, mid, bm, bn, bkp, interpret,
+    x, wp, scale, zero, scale_eff=None, zero_eff=None,
+    *, group_size, mid, bm, bn, bkp, interpret,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``)."""
     M, K = x.shape
@@ -353,13 +359,21 @@ def _bint8_call(
     assert bm == M and M <= 16, (M, bm)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
-    s_lo = scale[:nG].astype(jnp.float32)
-    s_hi = scale[nG:].astype(jnp.float32)
-    z_lo = zero[:nG].astype(jnp.float32)
-    z_hi = zero[nG:].astype(jnp.float32)
-    z2lo = (z_lo - mid * s_lo).astype(jnp.bfloat16)
-    z2hi = (z_hi + (8.0 - mid) * s_hi).astype(jnp.bfloat16)
-    shi16 = s_hi / 16.0
+    if scale_eff is not None and zero_eff is not None:
+        # precomputed at quantize time (qtypes/intx.py
+        # ``_tiled_eff_qparams``) — no per-call qparam transform traffic
+        s_lo = scale_eff[:nG]
+        shi16 = scale_eff[nG:]
+        z2lo = zero_eff[:nG]
+        z2hi = zero_eff[nG:]
+    else:
+        s_lo = scale[:nG].astype(jnp.float32)
+        s_hi = scale[nG:].astype(jnp.float32)
+        z_lo = zero[:nG].astype(jnp.float32)
+        z_hi = zero[nG:].astype(jnp.float32)
+        z2lo = (z_lo - mid * s_lo).astype(jnp.bfloat16)
+        z2hi = (z_hi + (8.0 - mid) * s_hi).astype(jnp.bfloat16)
+        shi16 = s_hi / 16.0
 
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk)
@@ -424,7 +438,19 @@ def int4_dq_matmul_available(x, w):
     # point (e.g. the 8da4w TILED weight: nib = q + 8, so
     # dq = (nib − 8)·s is the same tinygemm form with z = 0, mid = 8)
     symmetric = w.zero_point is None
-    if not symmetric and w.zero_point_domain is not ZeroPointDomain.FLOAT:
+    int_domain = (
+        not symmetric and w.zero_point_domain is ZeroPointDomain.INT
+    )
+    if int_domain and w.zero_eff is None:
+        # INT zero domain (HQQ/gemlite int4) rides the same kernels via
+        # the float-equivalent zero z = (mid − zp)·s — precomputed as
+        # zero_eff at quantize time; without it, fall back to XLA
+        return None
+    if (
+        not symmetric
+        and not int_domain
+        and w.zero_point_domain is not ZeroPointDomain.FLOAT
+    ):
         return None
     if w.qdata.ndim != 2:
         return None
@@ -441,10 +467,17 @@ def int4_dq_matmul_available(x, w):
 
     def impl(x, w):
         xb = x.reshape(-1, K)
-        zero = (
-            jnp.zeros_like(w.scale) if w.zero_point is None
-            else w.zero_point
-        )
+        if w.zero_point is None:
+            zero = jnp.zeros_like(w.scale)
+        elif int_domain:
+            # float-equivalent zero for the fused (large-M) variant;
+            # the decode variant reads the precomputed eff leaves
+            zero = (
+                (mid - w.zero_point.astype(jnp.float32))
+                * w.scale.astype(jnp.float32)
+            ).astype(w.scale.dtype)
+        else:
+            zero = w.zero_point
         kw = {}
         v = os.environ.get("TORCHAO_TPU_INT4_VARIANT")
         if v in ("fused", "group_partial", "batched_int8"):
@@ -464,6 +497,7 @@ def int4_dq_matmul_available(x, w):
             int4_matmul_candidates(xb.shape[0], N, K, group_size),
             lambda cfg: int4_dq_matmul(
                 xb, w.qdata, w.scale, zero,
+                w.scale_eff, w.zero_eff,
                 group_size=group_size, mid=mid, **cfg,
             ),
         )
@@ -471,6 +505,7 @@ def int4_dq_matmul_available(x, w):
             kw = {**tuned, **kw}  # env variant override wins
         out = int4_dq_matmul(
             xb, w.qdata, w.scale, zero,
+            w.scale_eff, w.zero_eff,
             group_size=group_size, mid=mid, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))

@@ -37,6 +37,52 @@ from torchao_tpu.quantization.quant_primitives import (
 )
 
 
+def _tiled_eff_qparams(
+    scale, zero_point, quant_min, quant_max,
+    zero_point_domain=None,
+):
+    """Kernel-form qparams for K-major TILED_NIBBLES scale/zero
+    ([.., K/g, N], lo-half rows then hi-half rows): the batched-int8
+    kernel consumes ``dq_lo = lo·s + (z − mid·s)`` and
+    ``dq_hi = hi_s·(s/16·16)... = (b′−lo)/16·s + (z + (8 − mid)·s)``, so
+    precompute (per half)  scale_eff = [s_lo, s_hi/16]  and
+    zero_eff = [z − mid·s, z + (8 − mid)·s]  once at quantize time
+    instead of per call inside the decode scan.
+
+    INT zero-point domain (HQQ/gemlite int4: ``dq = (q − zp)·s``) maps
+    onto the same form via the float-equivalent zero
+    ``z = (mid − zp)·s``."""
+    mid = (quant_max + quant_min + 1) / 2 - quant_min
+    nG2 = scale.shape[-2]
+    nG = nG2 // 2
+    if nG == 0 or nG2 % 2:
+        return None, None
+    s = scale.astype(jnp.float32)
+    if zero_point is None:
+        z = jnp.zeros_like(s)
+    elif zero_point_domain is ZeroPointDomain.INT:
+        z = (mid - zero_point.astype(jnp.float32)) * s
+    else:
+        z = zero_point.astype(jnp.float32)
+    half_factor = jnp.concatenate(
+        [
+            jnp.ones((nG, 1), jnp.float32),
+            jnp.full((nG, 1), 1.0 / 16.0, jnp.float32),
+        ],
+        axis=0,
+    )
+    bias = jnp.concatenate(
+        [
+            jnp.full((nG, 1), -mid, jnp.float32),
+            jnp.full((nG, 1), 8.0 - mid, jnp.float32),
+        ],
+        axis=0,
+    )
+    scale_eff = (s * half_factor).astype(jnp.bfloat16)
+    zero_eff = (z + bias * s).astype(jnp.bfloat16)
+    return scale_eff, zero_eff
+
+
 def _nbits_of(target_dtype: str) -> int:
     return int(target_dtype.lstrip("uint").lstrip("int") or 8)
 
@@ -56,6 +102,16 @@ class IntxArray(QuantizedArray):
     packing_format: PackingFormat = static_field(default=PackingFormat.PLAIN)
     logical_shape: Tuple[int, ...] = static_field(default=None)
     activation_dtype: str = static_field(default="bfloat16")
+    # Precomputed kernel-form qparams for TILED_NIBBLES (optional): the
+    # batched-int8 Pallas kernel consumes scale/zero in a derived form
+    # (hi-half scales ÷16; zeros pre-biased per half). Deriving them
+    # per call inside the decode scan costs ~2 GB/token of HBM traffic
+    # at 8B; from_hp precomputes them once instead.
+    #   scale_eff: [.., K/g, N] bf16 — scale with hi-half rows ÷ 16
+    #   zero_eff:  [.., K/g, N] bf16 — lo rows z − mid·s; hi rows
+    #              z + (8 − mid)·s
+    scale_eff: Optional[jnp.ndarray] = None
+    zero_eff: Optional[jnp.ndarray] = None
 
     # --- pytree-facing ----------------------------------------------------
     @property
@@ -159,6 +215,12 @@ class IntxArray(QuantizedArray):
                 while zero_point.ndim < w.ndim:
                     zero_point = zero_point[..., None]
                 zero_point = jnp.swapaxes(zero_point, -1, -2)
+            scale_eff, zero_eff = _tiled_eff_qparams(
+                scale, zero_point, quant_min, quant_max,
+                zero_point_domain,
+            )
+        else:
+            scale_eff = zero_eff = None
 
         if packing_format is PackingFormat.BIT_SHARDS:
             from torchao_tpu.qtypes.packing import pack_uintx
@@ -184,6 +246,8 @@ class IntxArray(QuantizedArray):
             packing_format=packing_format,
             logical_shape=logical_shape,
             activation_dtype=str(jnp.dtype(w.dtype)),
+            scale_eff=scale_eff,
+            zero_eff=zero_eff,
         )
 
     # --- slicing (TP / serving weight loading) -----------------------------
@@ -201,6 +265,17 @@ class IntxArray(QuantizedArray):
             zp = (
                 None if self.zero_point is None
                 else self.zero_point[..., start : start + size]
+            )
+            extra = {
+                name: getattr(self, name)[..., start : start + size]
+                for name in ("scale_eff", "zero_eff")
+                if getattr(self, name) is not None
+            }
+            ls = list(self.shape)
+            ls[-2] = size
+            return _dc.replace(
+                self, qdata=qdata, scale=scale, zero_point=zp,
+                logical_shape=tuple(ls), **extra,
             )
         else:
             qdata = self.qdata[..., start : start + size, :]

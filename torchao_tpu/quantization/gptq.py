@@ -161,13 +161,20 @@ def gptq_quantize_int4(
 
     spec = GPTQQuantSpec(group_size=group_size)
     Q, scales, zeros = gptq_quantize_weight(W, H, spec)
+    from torchao_tpu.qtypes.intx import _tiled_eff_qparams
+
     qdata = jnp.swapaxes(
         pack_int4(Q.astype(jnp.uint8), axis=-1), -1, -2
     )
+    scale_t = jnp.swapaxes(scales.astype(scale_dtype), -1, -2)
+    zero_t = jnp.swapaxes(zeros.astype(scale_dtype), -1, -2)
+    se, ze = _tiled_eff_qparams(
+        scale_t, zero_t, 0, 15, ZeroPointDomain.FLOAT
+    )
     return IntxArray(
         qdata=qdata,
-        scale=jnp.swapaxes(scales.astype(scale_dtype), -1, -2),
-        zero_point=jnp.swapaxes(zeros.astype(scale_dtype), -1, -2),
+        scale=scale_t,
+        zero_point=zero_t,
         block_size=tuple([1] * (W.ndim - 1) + [group_size]),
         target_dtype="uint4",
         quant_min=0,
@@ -176,4 +183,6 @@ def gptq_quantize_int4(
         packing_format=PackingFormat.TILED_NIBBLES,
         logical_shape=tuple(W.shape),
         activation_dtype=str(jnp.dtype(W.dtype)),
+        scale_eff=se,
+        zero_eff=ze,
     )

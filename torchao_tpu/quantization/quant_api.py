@@ -300,11 +300,17 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
         # (`affine_quantized_tensor.py:291-297`): zp_float = -(zero - 8)*s + ...
         # Simpler: store INT domain directly.
         from torchao_tpu.qtypes.intx import IntxArray as _I
+        from torchao_tpu.qtypes.intx import _tiled_eff_qparams
 
+        scale_t = jnp.swapaxes(scale.astype(w.dtype), -1, -2)
+        zero_t = jnp.swapaxes(zero.astype(w.dtype), -1, -2)
+        se, ze = _tiled_eff_qparams(
+            scale_t, zero_t, 0, 15, ZeroPointDomain.INT
+        )
         return _I(
             qdata=jnp.swapaxes(qp_pack_uint4(q), -1, -2),
-            scale=jnp.swapaxes(scale.astype(w.dtype), -1, -2),
-            zero_point=jnp.swapaxes(zero.astype(w.dtype), -1, -2),
+            scale=scale_t,
+            zero_point=zero_t,
             block_size=block_size,
             target_dtype="uint4",
             quant_min=0,
@@ -313,6 +319,8 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
             packing_format=PackingFormat.TILED_NIBBLES,
             logical_shape=tuple(w.shape),
             activation_dtype=str(jnp.dtype(w.dtype)),
+            scale_eff=se,
+            zero_eff=ze,
         )
     return IntxArray.from_hp(
         w,
