@@ -305,3 +305,35 @@ def test_moe_model_serves():
     for p, ref in zip(prompts, refs):
         np.testing.assert_array_equal(
             np.asarray(outs[tuple(p.tolist())]), ref)
+
+
+def test_engine_with_tp_sharded_quantized_params(setup):
+    """BASELINE config 5 shape: TP-sharded quantized weights + the
+    continuous-batching engine produce token-exact results vs the
+    unsharded engine (8 virtual devices, dp x tp mesh)."""
+    from torchao_tpu.parallel import make_mesh, shard_params
+    from torchao_tpu.quantization.quant_api import (
+        Int8WeightOnlyConfig, quantize_,
+    )
+    from torchao_tpu.models.llama.model import default_linear_filter
+
+    model, params = setup
+    qparams = quantize_(
+        params, Int8WeightOnlyConfig(), filter_fn=default_linear_filter
+    )
+    mesh = make_mesh({"data": 2, "model": 4})
+    sparams = shard_params(qparams, mesh)
+
+    rs = np.random.RandomState(33)
+    prompts = [rs.randint(0, 512, n).astype(np.int32) for n in (5, 7, 3)]
+
+    def run(p):
+        eng = ServingEngine(model, p, max_slots=2, max_seq_len=32)
+        for pr in prompts:
+            eng.add_request(Request(prompt=pr, max_new_tokens=6))
+        done = eng.run_to_completion(chunk=4)
+        return {r.request_id: r.output for r in done}
+
+    ref = run(qparams)
+    tp = run(sparams)
+    assert ref == tp, (ref, tp)

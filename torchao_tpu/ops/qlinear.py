@@ -196,7 +196,15 @@ def _check_int4_weight_only(x, w, bias):
         isinstance(w, IntxArray)
         and w.ndim == 2
         and (w.quant_max - w.quant_min) <= 15
-        and w.zero_point_domain is ZeroPointDomain.FLOAT
+        and (
+            w.zero_point_domain is ZeroPointDomain.FLOAT
+            # INT-domain int4 (HQQ / gemlite) rides the same kernel via
+            # the precomputed float-equivalent zero (zero_eff)
+            or (
+                w.zero_point_domain is ZeroPointDomain.INT
+                and getattr(w, "zero_eff", None) is not None
+            )
+        )
     )
 
 

@@ -291,10 +291,20 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
         packing_format = PackingFormat.PLAIN
     block_size = tuple([1] * (w.ndim - 1) + [group_size])
     if config.use_hqq:
-        q, scale, zero, _ = qp.choose_qparams_and_quantize_affine_hqq(
-            w, nbits=4, group_size=group_size, optimize=True,
-            compute_dtype=jnp.float32,
-        )
+        def _hqq_one(wl):
+            q, s, z, _ = qp.choose_qparams_and_quantize_affine_hqq(
+                wl, nbits=4, group_size=group_size, optimize=True,
+                compute_dtype=jnp.float32,
+            )
+            return q, s, z
+
+        if w.ndim >= 3:
+            # stacked [L, N, K]: solve layer-by-layer so only one
+            # layer's f32 proximal-solver intermediates are live (the
+            # stacked 8B solve peaks at ~24 GB otherwise)
+            q, scale, zero = jax.lax.map(_hqq_one, w)
+        else:
+            q, scale, zero = _hqq_one(w)
         # HQQ produces INT-domain uint4 qparams; convert zero to FLOAT
         # domain the way the reference does for tinygemm compat
         # (`affine_quantized_tensor.py:291-297`): zp_float = -(zero - 8)*s + ...
@@ -471,10 +481,18 @@ def _uintx_weight_only_transform(w: jnp.ndarray, config: UIntXWeightOnlyConfig):
     block_size = tuple([1] * (w.ndim - 1) + [group_size])
     if config.use_hqq:
         nbits = int(config.dtype.lstrip("uint"))
-        q, scale, zero, _ = qp.choose_qparams_and_quantize_affine_hqq(
-            w, nbits=nbits, group_size=group_size, optimize=True,
-            compute_dtype=jnp.float32,
-        )
+
+        def _hqq_one(wl):
+            q, s, z, _ = qp.choose_qparams_and_quantize_affine_hqq(
+                wl, nbits=nbits, group_size=group_size, optimize=True,
+                compute_dtype=jnp.float32,
+            )
+            return q, s, z
+
+        if w.ndim >= 3:  # stacked: bound solver memory to one layer
+            q, scale, zero = jax.lax.map(_hqq_one, w)
+        else:
+            q, scale, zero = _hqq_one(w)
         return IntxArray(
             qdata=q.astype(jnp.uint8),
             scale=scale.astype(w.dtype),
