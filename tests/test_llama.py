@@ -310,3 +310,40 @@ class TestInt4KVCache:
             kv_cache_quantization="int4",
         )
         assert out.shape == (1, 8)
+
+
+def test_attention_head_folded_matches_per_head():
+    """The head-folded kernel (all Hkv heads in one grid step, batched
+    dots) must match the per-head kernel exactly, for int8 and int4 KV."""
+    from torchao_tpu.kernels.quantized_attention import (
+        quantized_kv_decode_attention,
+    )
+
+    rng = np.random.RandomState(31)
+    B, Hkv, G, Dh, S = 2, 4, 8, 64, 32
+    q = jnp.asarray(rng.randn(B, Hkv, G, Dh), jnp.bfloat16)
+    pos = jnp.asarray([7, 12], jnp.int32)
+    for bits in (8, 4):
+        if bits == 8:
+            kq = jnp.asarray(
+                rng.randint(-127, 128, (B, Hkv, S, Dh)), jnp.int8)
+            vq = jnp.asarray(
+                rng.randint(-127, 128, (B, Hkv, S, Dh)), jnp.int8)
+        else:
+            kq = jnp.asarray(
+                rng.randint(0, 256, (B, Hkv, S, Dh // 2)), jnp.uint8)
+            vq = jnp.asarray(
+                rng.randint(0, 256, (B, Hkv, S, Dh // 2)), jnp.uint8)
+        ks = jnp.asarray(rng.rand(B, Hkv, S, 1) * 0.05, jnp.bfloat16)
+        vs = jnp.asarray(rng.rand(B, Hkv, S, 1) * 0.05, jnp.bfloat16)
+        folded = quantized_kv_decode_attention(
+            q, kq, ks, vq, vs, pos, bs=8, fold_heads=True,
+            interpret=True,
+        )
+        per_head = quantized_kv_decode_attention(
+            q, kq, ks, vq, vs, pos, bs=8, fold_heads=False,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(per_head), rtol=0, atol=1e-5
+        )

@@ -111,7 +111,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "bs", "bq", "rows_per_t", "interpret"),
+    static_argnames=(
+        "scale", "bs", "bq", "rows_per_t", "fold_heads", "interpret"
+    ),
 )
 def quantized_kv_decode_attention(
     q: jnp.ndarray,        # [B, Hkv, R, Dh] bf16 — R = T·G, t-major rows
@@ -125,6 +127,7 @@ def quantized_kv_decode_attention(
     bs: int = 1024,
     bq: Optional[int] = None,          # query-row block (prefill); None → R
     rows_per_t: Optional[int] = None,  # = G; None → R (decode, T=1)
+    fold_heads: Optional[bool] = None,  # None → auto (VMEM-budgeted)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, Hkv, R, Dh] f32 attention output. T=1 (decode) by
@@ -154,8 +157,77 @@ def quantized_kv_decode_attention(
     while R % bq:  # grid needs R | bq; masking stays exact per row
         bq //= 2
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+
+    # head-folded kernel: all Hkv heads in one grid step via batched
+    # dots — 8× fewer grid steps. Measured on this platform (PERF.md):
+    # NOT faster at S=8192 in isolation (823 vs 691 µs — both runs are
+    # DMA-serialized in a single-op loop, so neither number reflects
+    # pipelined decode). Opt-in (TORCHAO_TPU_ATTN_FOLD_HEADS=1 or
+    # fold_heads=True) pending an end-to-end long-context measurement.
+    if fold_heads is None:
+        import os
+
+        fold_heads = (
+            os.environ.get("TORCHAO_TPU_ATTN_FOLD_HEADS") == "1"
+        )
+    if fold_heads:
+        bs_f = bs
+        # per step: k/v int blocks + bf16 dequants + q/acc ≈ 6·H·bs·Dh B
+        while bs_f > 256 and Hkv * bs_f * Dh * 6 > 12 * 2**20:
+            bs_f //= 2
+        fits = Hkv * bs_f * Dh * 6 <= 12 * 2**20 and S % bs_f == 0
+        fold_heads = fits
+        bs = bs_f if fold_heads else bs
+
     n_s = S // bs
     n_q = R // bq
+
+    if fold_heads:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_q, n_s),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, Hkv, bq, Dh), lambda b, iq, s, *p: (b, 0, iq, 0)
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, bs, dh_store),
+                    lambda b, iq, s, *p: (b, 0, s, 0),
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, bs, 1), lambda b, iq, s, *p: (b, 0, s, 0)
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, bs, dh_store),
+                    lambda b, iq, s, *p: (b, 0, s, 0),
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, bs, 1), lambda b, iq, s, *p: (b, 0, s, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, bq, Dh), lambda b, iq, s, *p: (b, 0, iq, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, bq, 1), jnp.float32),
+                pltpu.VMEM((Hkv, bq, 1), jnp.float32),
+                pltpu.VMEM((Hkv, bq, Dh), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _kernel_heads, bs=bs, scale=scale, n_s_blocks=n_s,
+            rows_per_t=rows_per_t, kv_bits=kv_bits,
+        )
+        out_call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Hkv, R, Dh), jnp.float32),
+            interpret=interpret,
+        )
+        pos_vec = jnp.broadcast_to(
+            jnp.atleast_1d(pos).astype(jnp.int32), (B,)
+        )
+        return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -210,6 +282,76 @@ def unpack_int4_kv(p: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     lo = (p & jnp.uint8(0xF)).astype(jnp.int32) - 8
     hi = (p >> 4).astype(jnp.int32) - 8
     return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
+def _kernel_heads(
+    pos_ref,  # scalar prefetch: [B] int32
+    q_ref,    # [1, Hkv, bq, Dh] bf16
+    kq_ref,   # [1, Hkv, bs, dh_store] int8/uint8
+    ks_ref,   # [1, Hkv, bs, 1] bf16
+    vq_ref,   # [1, Hkv, bs, dh_store]
+    vs_ref,   # [1, Hkv, bs, 1] bf16
+    out_ref,  # [1, Hkv, bq, Dh] f32
+    m_ref, l_ref, acc_ref,
+    *, bs: int, scale: float, n_s_blocks: int, rows_per_t: int,
+    kv_bits: int = 8,
+):
+    """Head-folded variant: all Hkv heads ride ONE grid step as the
+    batch dim of batched dots (probed legal in Mosaic) — 8× fewer grid
+    steps than the per-head kernel, which was measured per-grid-step
+    overhead-bound (PERF.md: 631 µs / 6.7 GB/s at S=2048). The win is
+    long-context decode, where the KV cache read dominates."""
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[pl.program_id(0)]
+    block_start = s * bs
+    H, bq = q_ref.shape[1], q_ref.shape[2]
+    row0 = pl.program_id(1) * bq
+    t_max = (row0 + bq - 1) // rows_per_t
+
+    @pl.when(block_start <= pos + t_max)
+    def _():
+        q = q_ref[0]                                    # [H, bq, Dh]
+        k = _dequant_kv_block(kq_ref[0], ks_ref[0], kv_bits)  # [H,bs,Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                       # [H, bq, bs]
+
+        idx = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=2
+        )
+        row_t = (row0 + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )) // rows_per_t
+        scores = jnp.where(idx <= pos + row_t, scores, NEG_INF)
+
+        m_old = m_ref[:]                                # [H, bq, 1]
+        m_new = jnp.maximum(
+            m_old, jnp.max(scores, axis=2, keepdims=True)
+        )
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_old - m_new)
+
+        v = _dequant_kv_block(vq_ref[0], vs_ref[0], kv_bits)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # [H, bq, Dh]
+
+        m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == n_s_blocks - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
 
 
 def quantized_kv_decode_attention_reference(
