@@ -163,6 +163,7 @@ def main():
     name = os.environ.get("BENCH_MODEL", "Llama-3-8B")
     num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "128"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
+    kv_quant = os.environ.get("BENCH_KV_QUANT") or False  # "int8"/"int4"
     batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     if small:
@@ -189,6 +190,7 @@ def main():
         res = benchmark_decode(
             model, params,
             batch_size=batch, prompt_len=prompt_len, num_tokens=num_tokens,
+            kv_cache_quantization=kv_quant,
         )
     except Exception as e:
         # Mosaic/driver variance must never zero the headline: retry the
@@ -200,6 +202,7 @@ def main():
         res = benchmark_decode(
             model, params,
             batch_size=batch, prompt_len=prompt_len, num_tokens=num_tokens,
+            kv_cache_quantization=kv_quant,
         )
     value = res["tokens_per_s"]
 
