@@ -175,7 +175,10 @@ def main():
         name = "tiny"
     else:
         args = ModelArgs.from_name(name)
-        args.block_size = min(args.block_size, 4096)
+        # cap the RoPE/cache table, but never below what the requested
+        # prompt + new tokens need (long-context runs)
+        need = prompt_len + num_tokens
+        args.block_size = min(args.block_size, max(4096, need))
         model = Transformer(args, dtype=jnp.bfloat16)
 
     config = Int4WeightOnlyConfig(group_size=32)

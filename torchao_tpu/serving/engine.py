@@ -48,12 +48,22 @@ class ServingEngine:
         prefill_chunk: int = 64,
         kv_cache_quantization: bool = False,
         greedy: bool = True,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        seed: int = 0,
     ):
         self.model = model
         self.params = params
         self.B = max_slots
         self.S = min(max_seq_len, model.args.block_size)
         self.prefill_chunk = prefill_chunk
+        # sampling: temperature 0 (or greedy=True default) = argmax;
+        # otherwise the reference's exponential-race top-k multinomial,
+        # keyed per (slot, position) so slots are independent streams
+        self.temperature = 0.0 if greedy and temperature == 0.0 \
+            else temperature
+        self.top_k = top_k
+        self._base_key = jax.random.PRNGKey(seed)
         self.cache = model.setup_caches(
             self.B, self.S, quantize=kv_cache_quantization
         )
@@ -69,6 +79,28 @@ class ServingEngine:
     # ------------------------------------------------------------------
     def _build_programs(self):
         model = self.model
+        temperature, top_k = self.temperature, self.top_k
+        base_key = self._base_key
+
+        def pick(logits_last, pos_vec):
+            """Next token per slot: argmax (greedy) or the reference's
+            exponential-race top-k multinomial, keyed per (slot, pos) so
+            every slot is an independent, position-deterministic stream."""
+            if temperature == 0.0:
+                return jnp.argmax(logits_last, axis=-1).astype(jnp.int32)
+            from torchao_tpu.models.llama.generate import logits_to_probs
+
+            probs = logits_to_probs(logits_last, temperature, top_k)
+
+            def one(p, slot, pos):
+                k = jax.random.fold_in(
+                    jax.random.fold_in(base_key, slot), pos
+                )
+                q = jax.random.exponential(k, p.shape, jnp.float32)
+                return jnp.argmax(p / q)
+
+            slots = jnp.arange(probs.shape[0])
+            return jax.vmap(one)(probs, slots, pos_vec).astype(jnp.int32)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_slot(params, tokens, cache, slot_pos_vec):
@@ -79,7 +111,7 @@ class ServingEngine:
             current position is always overwritten by the next real
             decode write before it can be read (sequential positions)."""
             logits, cache = model(params, tokens, slot_pos_vec, cache)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = pick(logits[:, -1], slot_pos_vec)
             return nxt, cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -87,21 +119,21 @@ class ServingEngine:
             logits, cache = model(
                 params, tokens[:, None], slot_pos_vec, cache
             )
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = pick(logits[:, -1], slot_pos_vec)
             return nxt, cache
 
         @functools.partial(
             jax.jit, donate_argnums=(2,), static_argnums=(4,)
         )
         def decode_n_steps(params, tokens, cache, slot_pos_vec, n):
-            """n greedy steps for ALL slots device-side (one dispatch
+            """n decode steps for ALL slots device-side (one dispatch
             emits n tokens per slot — finished slots produce ignored
             overshoot, trimmed by the host)."""
 
             def step(carry, _):
                 tok, cache, pos = carry
                 logits, cache = model(params, tok[:, None], pos, cache)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                nxt = pick(logits[:, -1], pos)
                 return (nxt, cache, pos + 1), nxt
 
             (tok, cache, _), toks = jax.lax.scan(
