@@ -171,11 +171,19 @@ def quantized_kv_decode_attention(
             os.environ.get("TORCHAO_TPU_ATTN_FOLD_HEADS") == "1"
         )
     if fold_heads:
+        def _fold_bytes(bs_c):
+            # k/v int blocks + bf16 dequants (≈6·H·bs·Dh) + f32 scores
+            # and exp probs (≈8·H·bq·bs) + acc/out (≈8·H·bq·Dh)
+            return (
+                Hkv * bs_c * Dh * 6
+                + Hkv * bq * bs_c * 8
+                + Hkv * bq * Dh * 8
+            )
+
         bs_f = bs
-        # per step: k/v int blocks + bf16 dequants + q/acc ≈ 6·H·bs·Dh B
-        while bs_f > 256 and Hkv * bs_f * Dh * 6 > 12 * 2**20:
+        while bs_f > 256 and _fold_bytes(bs_f) > 12 * 2**20:
             bs_f //= 2
-        fits = Hkv * bs_f * Dh * 6 <= 12 * 2**20 and S % bs_f == 0
+        fits = _fold_bytes(bs_f) <= 12 * 2**20 and S % bs_f == 0
         fold_heads = fits
         bs = bs_f if fold_heads else bs
 

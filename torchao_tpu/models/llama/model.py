@@ -225,7 +225,15 @@ def init_kv_cache(
     half the cache bytes of int8; the Pallas attention kernel unpacks
     in VMEM (north-star int4 KV-cache capability; the reference only
     ships int8).
+
+    Long caches round UP to a multiple of 1024 so the flash kernel's
+    key blocks stay large: a ragged S (e.g. 8064) would force the
+    divisibility loop down to tiny blocks (measured: S=8064 → bs=32 →
+    2016 grid steps/layer → attention-bound 22 tok/s at 8k ctx). The
+    causal mask never reads the padded tail.
     """
+    if max_seq_len > 1024:
+        max_seq_len = -(-max_seq_len // 1024) * 1024
     shape = (
         args.n_layer, batch_size, args.n_local_heads, max_seq_len,
         args.head_dim,
