@@ -347,3 +347,34 @@ def test_attention_head_folded_matches_per_head():
         np.testing.assert_allclose(
             np.asarray(folded), np.asarray(per_head), rtol=0, atol=1e-5
         )
+
+
+def test_attention_smajor_matches_oracle():
+    """S-major cache layout kernel (fat [bs, H*Dh] rows) matches the
+    dequant oracle; the capacity/bandwidth design for long context."""
+    from torchao_tpu.kernels.quantized_attention import (
+        quantized_kv_attention_smajor,
+        quantized_kv_decode_attention_reference,
+    )
+
+    rng = np.random.RandomState(41)
+    B, H, G, Dh, S = 2, 4, 8, 64, 32
+    q = jnp.asarray(rng.randn(B, H, G, Dh), jnp.bfloat16)
+    kq = jnp.asarray(rng.randint(-127, 128, (B, H, S, Dh)), jnp.int8)
+    vq = jnp.asarray(rng.randint(-127, 128, (B, H, S, Dh)), jnp.int8)
+    ks = jnp.asarray(rng.rand(B, H, S, 1) * .05, jnp.bfloat16)
+    vs = jnp.asarray(rng.rand(B, H, S, 1) * .05, jnp.bfloat16)
+    pos = jnp.asarray([5, 9], jnp.int32)
+
+    def to_smajor(x):
+        return x.transpose(0, 2, 1, 3).reshape(B, S, -1)
+
+    out = quantized_kv_attention_smajor(
+        q, to_smajor(kq), to_smajor(ks).reshape(B, S, H),
+        to_smajor(vq), to_smajor(vs).reshape(B, S, H), pos,
+        bs=8, interpret=True,
+    )
+    ref = quantized_kv_decode_attention_reference(q, kq, ks, vq, vs, pos)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+    )

@@ -75,11 +75,26 @@ def _kernel(
     @pl.when(block_start <= pos + t_max)
     def _():
         q = q_ref[0, 0]                      # [bq, Dh]
-        k = _dequant_kv_block(kq_ref[0, 0], ks_ref[0, 0], kv_bits)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                             # [R, bs]
+        if kv_bits == 8:
+            # no K dequantization: mixed bf16×s8 dot is MXU-native
+            # (probed), and the per-key scale factors out of the dot —
+            # scores[g,s] = (q·k_q[s])·k_s[s]. The int8→bf16 cast was
+            # the long-context bottleneck (int8 (32,128) tiles retile
+            # expensively to bf16 — PERF.md diagnosis).
+            raw = jax.lax.dot_general(
+                q, kq_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # [bq, bs]
+            srow = jnp.swapaxes(
+                ks_ref[0, 0].astype(jnp.float32), 0, 1
+            )                                 # [1, bs]
+            scores = raw * srow * scale
+        else:
+            k = _dequant_kv_block(kq_ref[0, 0], ks_ref[0, 0], kv_bits)
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                         # [R, bs]
 
         idx = block_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
@@ -94,11 +109,23 @@ def _kernel(
         p = jnp.exp(scores - m_new)           # [G, bs]
         alpha = jnp.exp(m_old - m_new)        # [G, 1]
 
-        v = _dequant_kv_block(vq_ref[0, 0], vs_ref[0, 0], kv_bits)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                     # [G, Dh]
+        if kv_bits == 8:
+            # fold the per-key V scale into p (score-sized, tiny) and
+            # dot p directly against int8 V — no V dequantization
+            vrow = jnp.swapaxes(
+                vs_ref[0, 0].astype(jnp.float32), 0, 1
+            )                                 # [1, bs]
+            p2 = (p * vrow).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p2, vq_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # [G, Dh]
+        else:
+            v = _dequant_kv_block(vq_ref[0, 0], vs_ref[0, 0], kv_bits)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # [G, Dh]
 
         m_ref[:] = m_new
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -282,6 +309,175 @@ def quantized_kv_decode_attention(
     return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
 
 
+def _kernel_smajor(
+    pos_ref,  # scalar prefetch: [B] int32
+    q_ref,    # [1, Hkv, bq, Dh] bf16
+    kq_ref,   # [1, bs, Hkv·dh_store] int8/uint8 — S-major fat rows
+    ks_ref,   # [1, bs, Hkv] bf16
+    vq_ref,   # [1, bs, Hkv·dh_store]
+    vs_ref,   # [1, bs, Hkv] bf16
+    out_ref,  # [1, Hkv, bq, Dh] f32
+    m_ref, l_ref, acc_ref,
+    *, bs: int, scale: float, n_s_blocks: int, rows_per_t: int,
+    kv_bits: int = 8, n_heads: int = 8,
+):
+    """S-major cache layout: one fat [bs, Hkv·Dh] DMA per block (all
+    heads in a row) instead of Hkv thin [bs, Dh] stripes — the thin
+    stripes capped cache streaming at ~50 GB/s (PERF.md long-context
+    diagnosis). The per-head split happens in VMEM (reshape +
+    transpose), then the math is the head-folded batched-dot kernel."""
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[pl.program_id(0)]
+    block_start = s * bs
+    H = n_heads
+    bq = q_ref.shape[2]
+    row0 = pl.program_id(1) * bq
+    t_max = (row0 + bq - 1) // rows_per_t
+
+    def split_heads(flat, sc):
+        # [bs, H·dh] → [H, bs, dh'] dequantized. Minor-dim insertion is
+        # Mosaic-legal only at 32 bit — widen the scale first.
+        dh = flat.shape[-1] // H
+        x3 = jnp.swapaxes(flat.reshape(bs, H, dh), 0, 1)
+        s3 = jnp.swapaxes(sc.astype(jnp.float32), 0, 1)[:, :, None]
+        return _dequant_kv_block(x3, s3.astype(jnp.bfloat16), kv_bits)
+
+    @pl.when(block_start <= pos + t_max)
+    def _():
+        q = q_ref[0]                                    # [H, bq, Dh]
+        k = split_heads(kq_ref[0], ks_ref[0])           # [H, bs, Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                       # [H, bq, bs]
+
+        idx = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=2
+        )
+        row_t = (row0 + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )) // rows_per_t
+        scores = jnp.where(idx <= pos + row_t, scores, NEG_INF)
+
+        m_old = m_ref[:]
+        m_new = jnp.maximum(
+            m_old, jnp.max(scores, axis=2, keepdims=True)
+        )
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_old - m_new)
+
+        v = split_heads(vq_ref[0], vs_ref[0])           # [H, bs, Dh]
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+        m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == n_s_blocks - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "bs", "bq", "rows_per_t", "interpret"),
+)
+def quantized_kv_attention_smajor(
+    q: jnp.ndarray,        # [B, Hkv, R, Dh] bf16 — R = T·G t-major rows
+    k_q: jnp.ndarray,      # [B, S, Hkv·Dh'] int8 (or uint8 packed int4)
+    k_scale: jnp.ndarray,  # [B, S, Hkv]
+    v_q: jnp.ndarray,      # [B, S, Hkv·Dh']
+    v_scale: jnp.ndarray,  # [B, S, Hkv]
+    pos: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    bs: int = 1024,
+    bq: Optional[int] = None,
+    rows_per_t: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """S-major-cache flash attention (see ``_kernel_smajor``). Returns
+    [B, Hkv, R, Dh] f32."""
+    B, Hkv, R, Dh = q.shape
+    if rows_per_t is None:
+        rows_per_t = R
+    S = k_q.shape[1]
+    flat = k_q.shape[-1]
+    kv_bits = 4 if flat * 2 == Hkv * Dh else 8
+    if scale is None:
+        scale = 1.0 / math.sqrt(Dh)
+    bs = min(bs, S)
+    while S % bs:
+        bs //= 2
+    if bq is None:
+        bq = R
+    bq = min(bq, R)
+    while R % bq:
+        bq //= 2
+    # VMEM: fat k/v blocks + bf16 dequants + scores
+    while bs > 256 and (
+        bs * flat * 6 + Hkv * bq * bs * 8 > 12 * 2**20
+    ):
+        bs //= 2
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    n_s = S // bs
+    n_q = R // bq
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_q, n_s),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hkv, bq, Dh), lambda b, iq, s, *p: (b, 0, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, bs, flat), lambda b, iq, s, *p: (b, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, bs, Hkv), lambda b, iq, s, *p: (b, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, bs, flat), lambda b, iq, s, *p: (b, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, bs, Hkv), lambda b, iq, s, *p: (b, s, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, bq, Dh), lambda b, iq, s, *p: (b, 0, iq, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, bq, 1), jnp.float32),
+            pltpu.VMEM((Hkv, bq, 1), jnp.float32),
+            pltpu.VMEM((Hkv, bq, Dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_smajor, bs=bs, scale=scale, n_s_blocks=n_s,
+        rows_per_t=rows_per_t, kv_bits=kv_bits, n_heads=Hkv,
+    )
+    out_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, R, Dh), jnp.float32),
+        interpret=interpret,
+    )
+    pos_vec = jnp.broadcast_to(
+        jnp.atleast_1d(pos).astype(jnp.int32), (B,)
+    )
+    return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
+
+
 def unpack_int4_kv(p: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """XLA-level unpack of the packed int4 KV layout (byte d holds
     elements d and d + Dh/2 as offset-binary nibbles) — the single
@@ -326,11 +522,22 @@ def _kernel_heads(
     @pl.when(block_start <= pos + t_max)
     def _():
         q = q_ref[0]                                    # [H, bq, Dh]
-        k = _dequant_kv_block(kq_ref[0], ks_ref[0], kv_bits)  # [H,bs,Dh]
-        scores = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                       # [H, bq, bs]
+        if kv_bits == 8:
+            # mixed bf16×s8 batched dot; per-key scale factors out
+            raw = jax.lax.dot_general(
+                q, kq_ref[0], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                           # [H, bq, bs]
+            srow = jnp.swapaxes(
+                ks_ref[0].astype(jnp.float32), 1, 2
+            )                                           # [H, 1, bs]
+            scores = raw * srow * scale
+        else:
+            k = _dequant_kv_block(kq_ref[0], ks_ref[0], kv_bits)
+            scores = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                   # [H, bq, bs]
 
         idx = block_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=2
@@ -347,11 +554,21 @@ def _kernel_heads(
         p = jnp.exp(scores - m_new)
         alpha = jnp.exp(m_old - m_new)
 
-        v = _dequant_kv_block(vq_ref[0], vs_ref[0], kv_bits)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                               # [H, bq, Dh]
+        if kv_bits == 8:
+            vrow = jnp.swapaxes(
+                vs_ref[0].astype(jnp.float32), 1, 2
+            )                                           # [H, 1, bs]
+            p2 = (p * vrow).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p2, vq_ref[0], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                           # [H, bq, Dh]
+        else:
+            v = _dequant_kv_block(vq_ref[0], vs_ref[0], kv_bits)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                           # [H, bq, Dh]
 
         m_ref[:] = m_new
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
