@@ -363,6 +363,54 @@ def test_int4_group_partial_variant_matches():
     assert compute_error(ref, out) > 35
 
 
+def test_8da4w_centered_act_path():
+    """The 8da4w hot path feeds zero-point-centered int8 activations
+    (exact in bf16: |q − zp| ≤ 255 < 2⁸) into the int4 Pallas kernel —
+    output must match the exact integer-math oracle on the same
+    quantized operands, for BOTH act mapping types."""
+    from torchao_tpu import ops
+    from torchao_tpu.ops.qlinear import _check_8da4w_centered
+    from torchao_tpu.qtypes.base import KernelPreference, PackingFormat
+    from torchao_tpu.quantization.quant_api import (
+        Int8DynamicActivationInt4WeightConfig,
+        quantize_,
+    )
+    from torchao_tpu.quantization.quant_primitives import MappingType
+
+    rs = np.random.RandomState(13)
+    w = jnp.asarray(rs.randn(128, 512) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rs.randn(4, 512), jnp.bfloat16)
+    for act_mt in (MappingType.ASYMMETRIC, MappingType.SYMMETRIC):
+        cfg = Int8DynamicActivationInt4WeightConfig(
+            group_size=32, act_mapping_type=act_mt
+        )
+        qw = quantize_({"w": w}, cfg, filter_fn=lambda p, l: True)["w"]
+        inner = qw.original_weight
+        assert inner.packing_format is PackingFormat.TILED_NIBBLES
+        assert _check_8da4w_centered(x, qw, None)
+        out = ops.linear(
+            x, qw, kernel_preference=KernelPreference.PALLAS
+        )
+        # exact oracle: integer matmul on the same quantized operands
+        quantized = qw.quantize_input(x)
+        if len(quantized) == 3:
+            q, s, zp = quantized
+            xc = q.astype(jnp.float64) - zp.astype(jnp.float64)[:, None]
+        else:
+            q, s = quantized
+            xc = q.astype(jnp.float64)
+        wq = inner.unpacked_qdata().astype(jnp.float64)  # [N, K], −8..7
+        sw = jnp.repeat(
+            jnp.swapaxes(inner.scale, -1, -2).astype(jnp.float64),
+            32, axis=-1,
+        )                                                # [N, K]
+        ref = (xc @ (wq * sw).T) * s.astype(jnp.float64)[:, None]
+        err = compute_error(
+            jnp.asarray(ref, jnp.float32), jnp.asarray(out, jnp.float32)
+        )
+        assert err > 38, (act_mt, err)
+
+
 def test_int4_kernel_symmetric_no_zp_dispatch():
     """The int4 Pallas gate accepts symmetric TILED weights (the 8da4w
     inner weight): kernel output must match dequant+matmul."""

@@ -53,8 +53,13 @@ def _kernel(
     out_ref,  # [1, 1, bq, Dh] f32
     m_ref, l_ref, acc_ref,
     *, bs: int, scale: float, n_s_blocks: int, rows_per_t: int,
-    kv_bits: int = 8,
+    kv_bits: int = 8, ablate: str = "none",
 ):
+    """``ablate`` is a DIAGNOSTIC-ONLY knob (scripts/attn_probe.py):
+    every value except "none" computes WRONG attention, removing kernel
+    stages cumulatively to attribute the per-block cost —
+    "noexp" (exp→identity) → "nosoftmax" (no max/exp/l chain) →
+    "nomaskexp" (also no causal mask) → "dotsonly" (raw dots only)."""
     s = pl.program_id(3)
 
     @pl.when(s == 0)
@@ -75,6 +80,18 @@ def _kernel(
     @pl.when(block_start <= pos + t_max)
     def _():
         q = q_ref[0, 0]                      # [bq, Dh]
+        if ablate == "dotsonly":
+            raw = jax.lax.dot_general(
+                q, kq_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv = jax.lax.dot_general(
+                raw.astype(jnp.bfloat16), vq_ref[0, 0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] += pv
+            return
         if kv_bits == 8:
             # no K dequantization: mixed bf16×s8 dot is MXU-native
             # (probed), and the per-key scale factors out of the dot —
@@ -96,18 +113,34 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             ) * scale                         # [R, bs]
 
-        idx = block_start + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, dimension=1
-        )
-        row_t = (row0 + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, dimension=0
-        )) // rows_per_t
-        scores = jnp.where(idx <= pos + row_t, scores, NEG_INF)
+        if ablate not in ("nomaskexp",):
+            idx = block_start + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, dimension=1
+            )
+            row_t = (row0 + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, dimension=0
+            )) // rows_per_t
+            mask_val = (
+                jnp.float32(0.0)
+                if ablate in ("nosoftmax",) else NEG_INF
+            )
+            scores = jnp.where(idx <= pos + row_t, scores, mask_val)
 
-        m_old = m_ref[:]                      # [G, 1]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
-        p = jnp.exp(scores - m_new)           # [G, bs]
-        alpha = jnp.exp(m_old - m_new)        # [G, 1]
+        if ablate in ("nosoftmax", "nomaskexp"):
+            p = scores
+            alpha = jnp.float32(1.0)
+            m_new = m_ref[:]
+        else:
+            m_old = m_ref[:]                  # [G, 1]
+            m_new = jnp.maximum(
+                m_old, jnp.max(scores, axis=1, keepdims=True)
+            )
+            if ablate == "noexp":
+                p = scores - m_new            # [G, bs] (exp → identity)
+                alpha = m_old - m_new
+            else:
+                p = jnp.exp(scores - m_new)   # [G, bs]
+                alpha = jnp.exp(m_old - m_new)  # [G, 1]
 
         if kv_bits == 8:
             # fold the per-key V scale into p (score-sized, tiny) and
@@ -139,7 +172,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "bs", "bq", "rows_per_t", "fold_heads", "interpret"
+        "scale", "bs", "bq", "rows_per_t", "fold_heads", "interpret",
+        "ablate",
     ),
 )
 def quantized_kv_decode_attention(
@@ -156,6 +190,7 @@ def quantized_kv_decode_attention(
     rows_per_t: Optional[int] = None,  # = G; None → R (decode, T=1)
     fold_heads: Optional[bool] = None,  # None → auto (VMEM-budgeted)
     interpret: bool = False,
+    ablate: str = "none",  # DIAGNOSTIC ONLY — see _kernel docstring
 ) -> jnp.ndarray:
     """Returns [B, Hkv, R, Dh] f32 attention output. T=1 (decode) by
     default; for prefill pass ``rows_per_t=G`` with R = T·G rows and
@@ -191,6 +226,8 @@ def quantized_kv_decode_attention(
     # DMA-serialized in a single-op loop, so neither number reflects
     # pipelined decode). Opt-in (TORCHAO_TPU_ATTN_FOLD_HEADS=1 or
     # fold_heads=True) pending an end-to-end long-context measurement.
+    if ablate != "none":
+        fold_heads = False  # ablations exist only in the per-head kernel
     if fold_heads is None:
         import os
 
@@ -295,7 +332,7 @@ def quantized_kv_decode_attention(
     )
     kernel = functools.partial(
         _kernel, bs=bs, scale=scale, n_s_blocks=n_s,
-        rows_per_t=rows_per_t, kv_bits=kv_bits,
+        rows_per_t=rows_per_t, kv_bits=kv_bits, ablate=ablate,
     )
     out_call = pl.pallas_call(
         kernel,

@@ -448,6 +448,67 @@ def _impl_w4a8(x, w, bias, preference):
 
 
 register_qlinear_dispatch("w4a8_int4_weight", _check_w4a8, _impl_w4a8)
+
+
+def _check_8da4w_centered(x, w, bias):
+    """8da4w integer hot path (sym OR asym act): centered int8 activations
+    ride the proven batched bf16×s8 int4 kernel."""
+    from torchao_tpu.kernels.int4_matmul import int4_dq_matmul_available
+
+    return (
+        isinstance(w, LinearActivationQuantizedArray)
+        and w.input_quant_name
+        in ("int8_per_token_sym", "int8_per_token_asym")
+        and isinstance(w.original_weight, IntxArray)
+        and w.original_weight.target_dtype == "int4"
+        and int4_dq_matmul_available(x, w.original_weight) is not None
+    )
+
+
+def _impl_8da4w_centered(x, w, bias, preference):
+    """8da4w via centered activations on the int4 Pallas kernel.
+
+    Replaces the QDQ-act chain (reference
+    ``LinearActivationQuantizedTensor`` fallback,
+    ``linear_activation_quantized_tensor.py:135``) AND the s8s4 CUTLASS
+    integer kernel (``rowwise_scaled_linear_cutlass_*``, SURVEY §2.7)
+    with one trick: per-token int8 activations, centered by their zero
+    point, are integers with ``|q − zp| ≤ 255 < 2⁸`` — exact in bf16 —
+    so the *bf16×s8 batched-dot* int4 kernel (the int4wo decode kernel,
+    ``kernels/int4_matmul.py::_kernel_bint8``) computes the exact
+    integer matmul with zero extra weight-path cost; the per-token act
+    scale applies to output rows. Unlike the QDQ route this never
+    materializes a dequantized bf16 activation (whose ``s·q`` products
+    round in bf16), and unlike the serialized per-group int8×int8 W4A8
+    kernel it keeps the batched-dot issue rate (measured 29.5 ms vs
+    ~3.2 ms per 8B FFN matmul — see ``w4a8_matmul.py``).
+    """
+    if not _use_pallas(preference):
+        return _impl_laqt_generic(x, w, bias, preference)
+    from torchao_tpu.kernels.int4_matmul import int4_dq_matmul_available
+
+    inner: IntxArray = w.original_weight
+    impl = int4_dq_matmul_available(x, inner)
+    quantized = w.quantize_input(x)
+    if len(quantized) == 3:  # asymmetric: (q, scale, zp)
+        q, scale, zp = quantized
+        xc = (
+            q.astype(jnp.int32) - zp.astype(jnp.int32)[..., None]
+        ).astype(jnp.bfloat16)
+    else:  # symmetric: (q, scale)
+        q, scale = quantized
+        xc = q.astype(jnp.bfloat16)
+    out = impl(xc, inner)
+    out = (
+        out.astype(jnp.float32)
+        * scale.reshape(out.shape[:-1] + (1,)).astype(jnp.float32)
+    ).astype(x.dtype)
+    return out + bias if bias is not None else out
+
+
+register_qlinear_dispatch(
+    "8da4w_centered_int4", _check_8da4w_centered, _impl_8da4w_centered
+)
 register_qlinear_dispatch(
     "laqt_generic", _check_laqt_generic, _impl_laqt_generic
 )
