@@ -55,6 +55,10 @@ def build_cache(seed):
 
 
 def run_variant(name, cache, pos):
+    # NOTE: bytes_per_sweep is the FULL stacked cache (kq.nbytes spans
+    # all L layers); one rep sweeps it once — no extra ×L factor.
+    # (An earlier version multiplied by L, inflating GB/s 16×; only
+    # RELATIVE variant comparisons from those runs are meaningful.)
     kq, ks, vq, vs = cache
     bytes_per_sweep = (
         L * (kq.nbytes + vq.nbytes + ks.nbytes + vs.nbytes) // L
@@ -87,13 +91,58 @@ def run_variant(name, cache, pos):
         t0 = time.time()
         _ = float(prog(jnp.float32(1.0)))
         dt = time.time() - t0
-        gbs = REPS * bytes_per_sweep * L / dt / 1e9
+        gbs = REPS * bytes_per_sweep / dt / 1e9
         return dt, gbs
 
     G = 4  # Llama-3-8B GQA group
 
+    if name == "bdq":
+        from torchao_tpu.kernels.quantized_attention import (
+            quantized_kv_decode_attention_bdq,
+        )
+
+        # split flat cache views (materialized once, outside timing):
+        # K D-major [L, B, H·Dh, S], V S-major [L, B, S, H·Dh],
+        # scales [L, B, H, S]
+        kqf = jnp.swapaxes(kq, 3, 4).reshape(L, B, H * DH, S)
+        ksf = ks[..., 0]
+        vqf = jnp.swapaxes(vq, 2, 3).reshape(L, B, S, H * DH)
+        vsf = vs[..., 0]
+        kqf, ksf, vqf, vsf = map(
+            jax.block_until_ready, (kqf, ksf, vqf, vsf)
+        )
+
+        @jax.jit
+        def prog(q0, kqf, ksf, vqf, vsf):
+            def rep(r, q):
+                def layer(q, layer_kv):
+                    lk, lks, lv, lvs = layer_kv
+                    o = quantized_kv_decode_attention_bdq(
+                        q, lk, lks, lv, lvs, pos
+                    )
+                    return o.astype(jnp.bfloat16) * 1e-10, ()
+                q, _ = jax.lax.scan(layer, q, (kqf, ksf, vqf, vsf))
+                return q
+            return jax.lax.fori_loop(0, REPS, rep, q0)
+
+        q0 = jnp.ones((B, H, G, DH), jnp.bfloat16) * 0.01
+        t0 = time.time()
+        out = prog(q0, kqf, ksf, vqf, vsf)
+        _ = float(out.ravel()[0])
+        print(f"  [{name}] compile+first: {time.time() - t0:.1f}s",
+              flush=True)
+        t0 = time.time()
+        out = prog(q0 * 2, kqf, ksf, vqf, vsf)
+        _ = float(out.ravel()[0])
+        dt = time.time() - t0
+        gbs = REPS * bytes_per_sweep / dt / 1e9
+        return dt, gbs
+
+    # NOTE: pass cache arrays as jit ARGS — closed-over device arrays
+    # are embedded as HLO constants and blow the remote-compile request
+    # size limit (HTTP 413, probed).
     @jax.jit
-    def prog(q0):
+    def prog(q0, kq, ks, vq, vs):
         def rep(r, q):
             def layer(q, layer_kv):
                 lk, lks, lv, lvs = layer_kv
@@ -108,15 +157,15 @@ def run_variant(name, cache, pos):
 
     q0 = jnp.ones((B, H, G, DH), jnp.bfloat16) * 0.01
     t0 = time.time()
-    out = prog(q0)
+    out = prog(q0, kq, ks, vq, vs)
     _ = float(out.ravel()[0])
     print(f"  [{name}] compile+first: {time.time() - t0:.1f}s",
           flush=True)
     t0 = time.time()
-    out = prog(q0 * 2)
+    out = prog(q0 * 2, kq, ks, vq, vs)
     _ = float(out.ravel()[0])
     dt = time.time() - t0
-    gbs = REPS * L * bytes_per_sweep / dt / 1e9
+    gbs = REPS * bytes_per_sweep / dt / 1e9
     return dt, gbs
 
 

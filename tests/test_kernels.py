@@ -536,3 +536,39 @@ def test_int4_kernel_accepts_hqq_int_domain():
     out = ops.linear(x, qw)
     ref = jnp.matmul(x, qw.dequantize(jnp.float32).T)
     assert compute_error(ref, out) > 25, compute_error(ref, out)
+
+def test_int4_banded_variant_matches():
+    """The banded fat-dot variant (one K=bkp contraction per nibble
+    half) must match the oracle and the batched-int8 variant."""
+    from torchao_tpu.kernels.int4_matmul import (
+        int4_dq_matmul,
+        int4_dq_matmul_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    for M in (1, 8):
+        K, N, g = 2048, 256, 32
+        Kp = K // 2
+        x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+        wp = jnp.asarray(rng.randint(0, 256, (Kp, N)), jnp.uint8)
+        scale = jnp.asarray(
+            rng.rand(K // g, N) * 0.01 + 0.005, jnp.bfloat16
+        )
+        zero = jnp.asarray(rng.randn(K // g, N) * 0.02, jnp.bfloat16)
+
+        ref = int4_dq_matmul_reference(x, wp, scale, zero, group_size=g)
+        out = int4_dq_matmul(
+            x, wp, scale, zero, group_size=g,
+            variant="banded", interpret=True,
+        )
+        outb = int4_dq_matmul(
+            x, wp, scale, zero, group_size=g,
+            variant="batched_int8", interpret=True,
+        )
+        err = compute_error(
+            jnp.asarray(ref, jnp.float32), jnp.asarray(out, jnp.float32)
+        )
+        assert err > 40, (M, err)
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(outb, np.float32)
+        )

@@ -173,6 +173,44 @@ class TestQuantizedModel:
         assert compute_error(l_ref, l_ker) > 30, "prefill path diverged"
         assert compute_error(d_ref, d_ker) > 30, "decode path diverged"
 
+    def test_smajor_cache_matches_hmajor(
+        self, model_and_params, monkeypatch
+    ):
+        """The S-major flat int8 cache (quantize="int8_smajor") must
+        match the head-major int8 cache on all three paths: XLA
+        fallback, Pallas prefill (via hmajor transpose), and the bdq
+        decode kernel (interpret on CPU)."""
+        import torchao_tpu.models.llama.model as M
+
+        model, params = model_and_params
+        toks = jnp.asarray(
+            np.random.RandomState(8).randint(0, 512, (2, 6)), jnp.int32
+        )
+
+        monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: False)
+        qc_ref = model.setup_caches(2, 8, quantize=True)
+        l_ref, qc_ref = model(params, toks, 0, qc_ref)
+        nxt = jnp.argmax(l_ref[:, -1], -1).astype(jnp.int32)[:, None]
+        d_ref, _ = model(params, nxt, 6, qc_ref)
+
+        for pallas in (False, True):
+            monkeypatch.setattr(
+                M, "_pallas_attention_enabled", lambda: pallas
+            )
+            qc = model.setup_caches(2, 8, quantize="int8_smajor")
+            assert qc["k_q"].shape == (
+                model.args.n_layer, 2,
+                model.args.n_local_heads * model.args.head_dim, 8,
+            )
+            assert qc["v_q"].shape == (
+                model.args.n_layer, 2, 8,
+                model.args.n_local_heads * model.args.head_dim,
+            )
+            l_sm, qc = model(params, toks, 0, qc)
+            d_sm, _ = model(params, nxt, 6, qc)
+            assert compute_error(l_ref, l_sm) > 30, (pallas, "prefill")
+            assert compute_error(d_ref, d_sm) > 30, (pallas, "decode")
+
 
 class TestPrefillFlashBlocking:
     """Query-row-blocked flash prefill (bq < R, multiple q blocks) must
@@ -378,3 +416,33 @@ def test_attention_smajor_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
     )
+
+def test_attention_bdq_matches_oracle():
+    """Block-diagonal-Q decode kernel on the S-major flat cache matches
+    the dequant oracle (multi-block online softmax, per-batch pos)."""
+    from torchao_tpu.kernels.quantized_attention import (
+        quantized_kv_decode_attention_bdq,
+        quantized_kv_decode_attention_reference,
+    )
+
+    rng = np.random.RandomState(43)
+    B, H, G, Dh, S = 2, 8, 4, 128, 2048
+    q = jnp.asarray(rng.randn(B, H, G, Dh), jnp.bfloat16)
+    kq = jnp.asarray(rng.randint(-127, 128, (B, H, S, Dh)), jnp.int8)
+    vq = jnp.asarray(rng.randint(-127, 128, (B, H, S, Dh)), jnp.int8)
+    ks = jnp.asarray(rng.rand(B, H, S, 1) * .02 + .001, jnp.bfloat16)
+    vs = jnp.asarray(rng.rand(B, H, S, 1) * .02 + .001, jnp.bfloat16)
+    pos = jnp.asarray([S - 5, 700], jnp.int32)
+
+    kq_dm = kq.transpose(0, 1, 3, 2).reshape(B, H * Dh, S)  # D-major K
+    vq_sm = vq.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)  # S-major V
+    out = quantized_kv_decode_attention_bdq(
+        q, kq_dm, ks[..., 0], vq_sm, vs[..., 0], pos,
+        bs=512, interpret=True,
+    )
+    ref = quantized_kv_decode_attention_reference(q, kq, ks, vq, vs, pos)
+    err = compute_error(
+        jnp.asarray(ref, jnp.float32),
+        jnp.asarray(out, jnp.float32),
+    )
+    assert err > 45, err

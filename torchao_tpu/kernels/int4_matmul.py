@@ -168,6 +168,112 @@ def _kernel_bint8(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_banded(
+    x_lo_ref,   # [bm, bkp] bf16/f32 — lo-half activation columns
+    x_hi_ref,   # [bm, bkp] — hi-half activation columns
+    wp_ref,     # [bkp, bn] uint8
+    slo_ref,    # [bg, bn] — lo-half group scales
+    shi16_ref,  # [bg, bn] — hi-half group scales / 16
+    z2lo_ref,   # [bg, bn] bf16 — z − mid·s (lo)
+    z2hi_ref,   # [bg, bn] bf16 — z + (8 − mid)·s (hi)
+    out_ref, acc_ref, *, group_size: int, n_k_blocks: int,
+):
+    """Banded fat-dot variant: ONE wide MXU contraction per half.
+
+    The batched-int8 variant issues ``bg`` batched sub-dots with K = g
+    (32) contraction depth — far below the 128-deep MXU pipeline, so the
+    kernel is dot-issue-bound at ~320 GB/s effective while plain int8
+    streaming reaches 600+ GB/s. FLOPs here are free (200 TFLOP/s
+    measured vs a memory-bound workload), so trade them for issue rate:
+    build a *banded* activation matrix in VMEM,
+
+      ``A[m·bg + gi, k] = x[m, k] · [k // g == gi]``   ([bm·bg, bkp])
+
+    and compute ALL per-group partials in one K = bkp contraction,
+    ``P = A @ W`` → ``P[m·bg + gi, n] = Σ_{k∈gi} x[m,k]·w[k,n]``. The
+    31/32 zero multiplies cost nothing on a memory-bound kernel. The hi
+    half needs only ONE extra dot via the nibble-difference identity
+
+      ``d = (w ^ 0x80)·as_i8 − (w & 0xF)·as_i8 = 16·(hi − 8)``  (int8,
+      exact: 16·hi_s ∈ [−128, 112], no wrap)
+
+    so ``A_hi @ d`` is directly the hi-half group partial scaled ×16,
+    matching the precomputed ``s_hi/16``. Zero terms ride two tiny
+    group-indicator dots exactly as in the fused variant."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bkp, bn = wp_ref.shape
+    bm = x_lo_ref.shape[0]
+    bg = slo_ref.shape[0]
+    g = group_size
+
+    w = wp_ref[:]
+    lo = (w & jnp.uint8(0xF)).astype(jnp.int8)            # [bkp, bn]
+    bp = (w ^ jnp.uint8(0x80)).astype(jnp.int8)           # lo + 16·(hi−8)
+    # NOTE: int8 `bp - lo` is NOT Mosaic-legal (arith.subi on i8 fails
+    # to legalize, probed on hw) — subtract the f32 partials instead,
+    # exactly as the batched_int8 variant does.
+
+    # 0/1 band indicator built arithmetically in i32 → bf16 multiply:
+    # an [bg, bkp] i1 compare here trips a Mosaic "invalid relayout"
+    # (vector<32x1024xi1>, probed on hw), so avoid i1 vectors entirely.
+    diff = (
+        jax.lax.broadcasted_iota(jnp.int32, (bg, bkp), 0)
+        - jax.lax.broadcasted_iota(jnp.int32, (bg, bkp), 1) // g
+    )
+    maskf = (1 - jnp.minimum(diff * diff, 1)).astype(jnp.bfloat16)
+
+    def banded(x):  # [bm, bkp] → [bm·bg, bkp] bf16, row m·bg + gi
+        xb = x.astype(jnp.bfloat16)
+        blocks = [maskf * xb[m:m + 1] for m in range(bm)]
+        return blocks[0] if bm == 1 else jnp.concatenate(blocks, axis=0)
+
+    a_lo = banded(x_lo_ref[:])
+    a_hi = banded(x_hi_ref[:])
+    # one fat K=bkp dot for both halves against `lo`
+    p_lo2 = jax.lax.dot_general(
+        jnp.concatenate([a_lo, a_hi], axis=0), lo,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(2 * bm, bg, bn)
+    p_b = jax.lax.dot_general(
+        a_hi, bp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bm, bg, bn)
+
+    contrib = (
+        p_lo2[:bm] * slo_ref[:].astype(jnp.float32)[None]
+        + (p_b - p_lo2[bm:])
+        * shi16_ref[:].astype(jnp.float32)[None]
+    )
+    acc_ref[:] += jnp.sum(contrib, axis=1)
+
+    # zero terms: Σ_k x[k]·z′[k//g, n] = (x @ E) @ z′, E the [bkp, bg]
+    # group-indicator — two tiny MXU dot pairs (as in the fused variant)
+    diffE = (
+        jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 0) // g
+        - jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 1)
+    )
+    E = (1 - jnp.minimum(diffE * diffE, 1)).astype(jnp.bfloat16)
+    for x_ref, z2_ref in ((x_lo_ref, z2lo_ref), (x_hi_ref, z2hi_ref)):
+        t = jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), E,
+            preferred_element_type=jnp.float32,
+        )                                                  # [bm, bg]
+        acc_ref[:] += jnp.dot(
+            t.astype(jnp.bfloat16), z2_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 def _kernel(
     x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
     out_ref, acc_ref, *, group_size: int, n_k_blocks: int, mid: float,
@@ -277,12 +383,12 @@ def int4_dq_matmul(
     # small-M (GEMV) design; larger M uses the fused variant.
     if variant == "auto":
         variant = "batched_int8" if M <= 16 else "fused"
-    elif variant == "batched_int8" and M > 16:
-        # can't honor: [bg, 3·bm, bn] f32 partials exceed VMEM at this M
+    elif variant in ("batched_int8", "banded") and M > 16:
+        # can't honor: [bg·bm, ·] operands/partials exceed VMEM at this M
         import warnings
 
         warnings.warn(
-            f"variant='batched_int8' requires M <= 16 (got M={M}); "
+            f"variant={variant!r} requires M <= 16 (got M={M}); "
             "running the fused variant instead"
         )
         variant = "fused"
@@ -302,6 +408,12 @@ def int4_dq_matmul(
 
     if variant == "batched_int8" and M <= 16:
         return _bint8_call(
+            x, wp, scale, zero, scale_eff, zero_eff,
+            group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
+            interpret=interpret,
+        )
+    if variant == "banded" and M <= 16:
+        return _banded_call(
             x, wp, scale, zero, scale_eff, zero_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret,
@@ -402,6 +514,66 @@ def _bint8_call(
     return out
 
 
+def _banded_call(
+    x, wp, scale, zero, scale_eff=None, zero_eff=None,
+    *, group_size, mid, bm, bn, bkp, interpret,
+):
+    """Launch the banded fat-dot variant (see ``_kernel_banded``)."""
+    M, K = x.shape
+    Kp, N = wp.shape
+    g = group_size
+    nG = Kp // g
+    bg = bkp // g
+    nbk = Kp // bkp
+
+    assert bm == M and M <= 16, (M, bm)
+
+    if scale_eff is not None and zero_eff is not None:
+        s_lo = scale_eff[:nG]
+        shi16 = scale_eff[nG:]
+        z2lo = zero_eff[:nG]
+        z2hi = zero_eff[nG:]
+    else:
+        s_lo = scale[:nG].astype(jnp.float32)
+        s_hi = scale[nG:].astype(jnp.float32)
+        z_lo = zero[:nG].astype(jnp.float32)
+        z_hi = zero[nG:].astype(jnp.float32)
+        z2lo = (z_lo - mid * s_lo).astype(jnp.bfloat16)
+        z2hi = (z_hi + (8.0 - mid) * s_hi).astype(jnp.bfloat16)
+        shi16 = s_hi / 16.0
+
+    grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+    kernel = functools.partial(
+        _kernel_banded, group_size=g, n_k_blocks=nbk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k + nbk)),
+            pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # the banded dots contract over the full bkp (bg× the
+            # useful flops) — free on a memory-bound kernel, but tell
+            # the scheduler the truth
+            flops=2 * M * N * K * (bkp // g),
+            bytes_accessed=Kp * N + scale.size * 4 + M * K * 4,
+            transcendentals=0,
+        ),
+    )(x, x, wp, s_lo, shi16, z2lo, z2hi)
+    return out
+
+
 def int4_dq_matmul_reference(x, wp, scale, zero, *, group_size, mid=8.0):
     """jnp oracle with identical math (wp/scale/zero K-major)."""
     from torchao_tpu.qtypes.packing import unpack_int4
@@ -480,7 +652,7 @@ def int4_dq_matmul_available(x, w):
             zero = w.zero_point
         kw = {}
         v = os.environ.get("TORCHAO_TPU_INT4_VARIANT")
-        if v in ("fused", "group_partial", "batched_int8"):
+        if v in ("fused", "group_partial", "batched_int8", "banded"):
             kw["variant"] = v
         for name in ("bn", "bkp"):  # block experimentation knobs
             ev = os.environ.get(f"TORCHAO_TPU_INT4_{name.upper()}")

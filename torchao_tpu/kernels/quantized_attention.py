@@ -515,6 +515,176 @@ def quantized_kv_attention_smajor(
     return out_call(pos_vec, q, k_q, k_scale, v_q, v_scale)
 
 
+def _kernel_bdq(
+    pos_ref,  # scalar prefetch: [B] int32
+    qbd_ref,  # [1, H·G, H·Dh] bf16 — block-diagonal Q (built in XLA)
+    kq_ref,   # [1, H·Dh, bs] int8 — D-major K cache block
+    ks_ref,   # [1, H, bs] bf16
+    vq_ref,   # [1, bs, H·Dh] int8 — S-major V cache block
+    vs_ref,   # [1, H, bs] bf16
+    out_ref,  # [1, H·G, Dh] f32
+    m_ref, l_ref, acc_ref,
+    *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
+):
+    """Block-diagonal-Q flash decode on the split flat cache.
+
+    The per-head kernels stream the cache in thin [bs, Dh=128] stripes
+    and small K=128 dots — measured ~50 GB/s at S=8k (PERF.md), while
+    the weight kernels' fat-2D-block pattern reaches 600+ GB/s. This
+    kernel reproduces the weight-kernel memory shape exactly: one fat
+    ~1 MB int8 block per grid step covering ALL heads, and per-head
+    structure lives in the *query*: with
+
+      ``Qbd[(h,g), (h',d)] = q[h,g,d]·[h == h']``
+
+    one K = H·Dh contraction computes every head's scores as a single
+    mixed bf16×s8 MXU dot (native, probed); P·V likewise rides one fat
+    dot producing [HG, H·Dh], and the (h'==h) diagonal band is
+    extracted by an f32 minor-dim reshape (legal at 32 bit) + masked
+    sum over h'. The H× wasted MXU flops are free on a memory-bound
+    kernel.
+
+    Layout is SPLIT so both dots contract over the rhs MAJOR dim (the
+    MXU-natural orientation): K is stored D-major ([H·Dh, S] — scores
+    = Qbd @ Kblk directly) while V stays S-major ([S, H·Dh] — out =
+    P @ Vblk directly). A single S-major layout for both would make
+    the score dot ``A @ Bᵀ``, forcing Mosaic to transpose each 1 MB
+    int8 block in VMEM — measured 22 GB/s end-to-end vs per-head's 31
+    (first bdq iteration). Scales are [H, S] so per-head rows need no
+    in-kernel transpose either, just a G-fold sublane repeat."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[pl.program_id(0)]
+    block_start = s * bs
+    H, G = n_heads, qbd_ref.shape[1] // n_heads
+
+    @pl.when(block_start <= pos)
+    def _():
+        qbd = qbd_ref[0]                                 # [HG, HDh]
+        raw = jax.lax.dot_general(
+            qbd, kq_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [HG, bs]
+        # per-(head, key) scale rows, repeated G-fold: [H, bs] → [HG, bs]
+        kst = jnp.repeat(ks_ref[0].astype(jnp.float32), G, axis=0)
+        scores = raw * kst * scale
+
+        idx = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )
+        scores = jnp.where(idx <= pos, scores, NEG_INF)
+
+        m_old = m_ref[:]                                 # [HG, 1]
+        m_new = jnp.maximum(
+            m_old, jnp.max(scores, axis=1, keepdims=True)
+        )
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_old - m_new)
+
+        vst = jnp.repeat(vs_ref[0].astype(jnp.float32), G, axis=0)
+        p2 = (p * vst).astype(jnp.bfloat16)
+        wide = jax.lax.dot_general(
+            p2, vq_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [HG, HDh]
+        # diagonal-band extraction: [HG, HDh] → [HG, H, Dh], keep h'==h
+        w3 = wide.reshape(H * G, H, dh)
+        hsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (H * G, H, dh), 0) // G
+            == jax.lax.broadcasted_iota(jnp.int32, (H * G, H, dh), 1)
+        )
+        pv = jnp.sum(jnp.where(hsel, w3, 0.0), axis=1)   # [HG, Dh]
+
+        m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == n_s_blocks - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bs", "interpret")
+)
+def quantized_kv_decode_attention_bdq(
+    q: jnp.ndarray,        # [B, Hkv, G, Dh] bf16 — decode (T=1)
+    k_q: jnp.ndarray,      # [B, Hkv·Dh, S] int8 — D-major flat K
+    k_scale: jnp.ndarray,  # [B, Hkv, S]
+    v_q: jnp.ndarray,      # [B, S, Hkv·Dh] int8 — S-major flat V
+    v_scale: jnp.ndarray,  # [B, Hkv, S]
+    pos: jnp.ndarray,      # scalar or [B] int32
+    *,
+    scale: Optional[float] = None,
+    bs: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-diagonal-Q flash decode on the split flat cache (see
+    ``_kernel_bdq``). Returns [B, Hkv, G, Dh] f32. Decode-only (T=1);
+    prefill keeps the head-major kernels (it is MXU-bound, not
+    cache-streaming-bound)."""
+    B, H, G, Dh = q.shape
+    S = v_q.shape[1]
+    assert k_q.shape == (B, H * Dh, S), (k_q.shape, H, Dh, S)
+    assert v_q.shape[-1] == H * Dh, (v_q.shape, H, Dh)
+    if scale is None:
+        scale = 1.0 / math.sqrt(Dh)
+    bs = min(bs, S)
+    while S % bs:
+        bs //= 2
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    n_s = S // bs
+
+    # block-diagonal Q (tiny: B·HG·HDh bf16), built once per step in XLA
+    eye = jnp.eye(H, dtype=q.dtype)
+    qbd = jnp.einsum("bhgd,hk->bhgkd", q, eye).reshape(
+        B, H * G, H * Dh
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_s),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H * G, H * Dh), lambda b, s, *p: (b, 0, 0)
+            ),
+            pl.BlockSpec((1, H * Dh, bs), lambda b, s, *p: (b, 0, s)),
+            pl.BlockSpec((1, H, bs), lambda b, s, *p: (b, 0, s)),
+            pl.BlockSpec((1, bs, H * Dh), lambda b, s, *p: (b, s, 0)),
+            pl.BlockSpec((1, H, bs), lambda b, s, *p: (b, 0, s)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H * G, Dh), lambda b, s, *p: (b, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H * G, 1), jnp.float32),
+            pltpu.VMEM((H * G, 1), jnp.float32),
+            pltpu.VMEM((H * G, Dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_bdq, bs=bs, scale=scale, n_s_blocks=n_s,
+        n_heads=H, dh=Dh,
+    )
+    out_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H * G, Dh), jnp.float32),
+        interpret=interpret,
+    )
+    pos_vec = jnp.broadcast_to(
+        jnp.atleast_1d(pos).astype(jnp.int32), (B,)
+    )
+    out = out_call(pos_vec, qbd, k_q, k_scale, v_q, v_scale)
+    return out.reshape(B, H, G, Dh)
+
+
 def unpack_int4_kv(p: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """XLA-level unpack of the packed int4 KV layout (byte d holds
     elements d and d + Dh/2 as offset-binary nibbles) — the single

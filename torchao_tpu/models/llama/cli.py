@@ -110,7 +110,12 @@ def main(argv=None):
     p.add_argument("--checkpoint_path", default=None,
                    help=".npz from scripts/convert_hf_checkpoint.py")
     p.add_argument("-q", "--quantization", default=None)
-    p.add_argument("--kv_cache_quantization", action="store_true")
+    p.add_argument(
+        "--kv_cache_quantization", nargs="?", const=True, default=False,
+        help="flag → int8 head-major; or a layout string: "
+        "int8 | int4 | int8_smajor (S-major flat cache, fastest at "
+        "long context via the block-diagonal-Q decode kernel)",
+    )
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--prompt_len", type=int, default=128)
     p.add_argument("--max_new_tokens", type=int, default=128)

@@ -243,6 +243,25 @@ def init_kv_cache(
             "k": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype),
         }
+    if quantize in ("int8_smajor", "smajor"):
+        # Split flat int8 cache: K is D-major [L, B, Hkv·Dh, S], V is
+        # S-major [L, B, S, Hkv·Dh], scales [L, B, Hkv, S]. Cache
+        # blocks are fat ~1 MB 2-D tiles covering ALL heads — the same
+        # memory shape as the 600 GB/s weight kernels instead of thin
+        # per-head [bs, Dh] stripes (~50 GB/s at 8k ctx — PERF.md) —
+        # and each layout feeds its dot in the MXU-natural orientation
+        # (contraction over the rhs MAJOR dim; a uniform S-major cache
+        # forced a 1 MB int8 in-VMEM transpose per score block —
+        # measured slower end-to-end than per-head). Consumed by
+        # ``quantized_kv_decode_attention_bdq``.
+        HD = args.n_local_heads * args.head_dim
+        L, B, S = args.n_layer, batch_size, max_seq_len
+        return {
+            "k_q": jnp.zeros((L, B, HD, S), jnp.int8),
+            "v_q": jnp.zeros((L, B, S, HD), jnp.int8),
+            "k_scale": jnp.zeros((L, B, args.n_local_heads, S), dtype),
+            "v_scale": jnp.zeros((L, B, args.n_local_heads, S), dtype),
+        }
     if quantize == "int4":
         assert args.head_dim % 2 == 0
         pshape = shape[:-1] + (args.head_dim // 2,)
@@ -294,6 +313,64 @@ def _dequantize_kv_int4(p: jnp.ndarray, s: jnp.ndarray, dtype):
 def _kv_is_int4(layer_cache) -> bool:
     return (
         "k_q" in layer_cache and layer_cache["k_q"].dtype == jnp.uint8
+    )
+
+
+def _kv_is_smajor(layer_cache) -> bool:
+    """S-major flat int8 layout: per-layer k_q is [B, S, Hkv·Dh]."""
+    return "k_q" in layer_cache and layer_cache["k_q"].ndim == 3
+
+
+def _smajor_write(cache_arr, new_vals, input_pos, axis):
+    """Write new values into a flat cache at ``input_pos`` along
+    ``axis`` (1 = S-major rows [B, S, X]; 2 = minor dim of [B, X, S]).
+    ``input_pos`` is a shared scalar or per-slot [B] vector."""
+    new_vals = new_vals.astype(cache_arr.dtype)
+    if getattr(input_pos, "ndim", 0) == 1:
+        def upd(c, nv, p):
+            start = (p, 0) if axis == 1 else (0, p)
+            return jax.lax.dynamic_update_slice(c, nv, start)
+        return jax.vmap(upd)(cache_arr, new_vals, input_pos)
+    start = (0, input_pos, 0) if axis == 1 else (0, 0, input_pos)
+    return jax.lax.dynamic_update_slice(cache_arr, new_vals, start)
+
+
+def _smajor_update(layer_cache, k, v, input_pos):
+    """Quantize new k/v ([B, Hkv, T, Dh]) per token and write them into
+    the split flat cache (K D-major, V S-major — see ``init_kv_cache``).
+    Returns the updated cache pytree."""
+    B, Hkv, T, Dh = k.shape
+    k_q, k_s = _quantize_kv(k)
+    v_q, v_s = _quantize_kv(v)
+
+    # K: [B, Hkv, T, Dh] → D-major columns [B, Hkv·Dh, T]
+    k_flat = k_q.transpose(0, 1, 3, 2).reshape(B, Hkv * Dh, T)
+    # V: → S-major rows [B, T, Hkv·Dh]
+    v_flat = v_q.transpose(0, 2, 1, 3).reshape(B, T, Hkv * Dh)
+
+    return {
+        "k_q": _smajor_write(layer_cache["k_q"], k_flat, input_pos, 2),
+        "v_q": _smajor_write(layer_cache["v_q"], v_flat, input_pos, 1),
+        "k_scale": _smajor_write(
+            layer_cache["k_scale"], k_s[..., 0], input_pos, 2
+        ),
+        "v_scale": _smajor_write(
+            layer_cache["v_scale"], v_s[..., 0], input_pos, 2
+        ),
+    }
+
+
+def _smajor_to_hmajor(layer_cache, Hkv, Dh):
+    """View the split flat cache head-major ([B, Hkv, S, Dh] int8 +
+    [B, Hkv, S, 1] scales) — an XLA transpose, used on the non-decode
+    paths (prefill is MXU-bound, not cache-streaming-bound)."""
+    B, S, _ = layer_cache["v_q"].shape
+
+    return (
+        layer_cache["k_q"].reshape(B, Hkv, Dh, S).transpose(0, 1, 3, 2),
+        layer_cache["k_scale"][..., None],
+        layer_cache["v_q"].reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3),
+        layer_cache["v_scale"][..., None],
     )
 
 
@@ -413,7 +490,57 @@ def _attention(
         q = apply_hadamard(q)
         k = apply_hadamard(k)
 
-    if layer_cache is not None:
+    if layer_cache is not None and _kv_is_smajor(layer_cache):
+        # S-major flat cache: decode rides the block-diagonal-Q kernel
+        # (fat [bs, Hkv·Dh] cache blocks — the weight-kernel memory
+        # shape); prefill transposes to head-major (MXU-bound anyway).
+        new_cache = _smajor_update(layer_cache, k, v, input_pos)
+        g = H // Hkv
+        pos_vec = (
+            input_pos if getattr(input_pos, "ndim", 0) == 1
+            else jnp.full((B,), input_pos, jnp.int32)
+        )
+        if T == 1 and _pallas_attention_enabled():
+            from torchao_tpu.kernels.quantized_attention import (
+                quantized_kv_decode_attention_bdq,
+            )
+
+            attn = quantized_kv_decode_attention_bdq(
+                q.reshape(B, Hkv, g, Dh),
+                new_cache["k_q"], new_cache["k_scale"],
+                new_cache["v_q"], new_cache["v_scale"],
+                pos_vec,
+            )  # [B, Hkv, g, Dh] f32
+            out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
+            out = ops.linear(out, _layer_weight(lw["wo"]))
+            return out, new_cache
+        kq_h, ks_h, vq_h, vs_h = _smajor_to_hmajor(new_cache, Hkv, Dh)
+        if _pallas_attention_enabled():
+            from torchao_tpu.kernels.quantized_attention import (
+                quantized_kv_decode_attention,
+            )
+
+            qg = (
+                q.reshape(B, Hkv, g, T, Dh)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, Hkv, T * g, Dh)
+            )
+            attn = quantized_kv_decode_attention(
+                qg, kq_h, ks_h, vq_h, vs_h, pos_vec,
+                rows_per_t=g, bq=None if T == 1 else 512,
+            )
+            out = (
+                attn.reshape(B, Hkv, T, g, Dh)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(B, T, H * Dh)
+                .astype(x.dtype)
+            )
+            out = ops.linear(out, _layer_weight(lw["wo"]))
+            return out, new_cache
+        # XLA fallback (CPU): dequantize like the reference KV cache
+        k_full = kq_h.astype(k.dtype) * ks_h.astype(k.dtype)
+        v_full = vq_h.astype(v.dtype) * vs_h.astype(v.dtype)
+    elif layer_cache is not None:
         # quantized cache on TPU → Pallas flash kernel consuming int8 KV
         # directly (no bf16 cache materialization), for both decode (T=1)
         # and prefill (T>1, per-row causal masking)
@@ -540,7 +667,14 @@ def transformer_forward(
 
     if mask is None:
         if cache is not None:
-            S = jax.tree_util.tree_leaves(cache)[0].shape[3]
+            kq0 = (
+                cache.get("k_q", cache.get("k"))
+                if isinstance(cache, dict)
+                else jax.tree_util.tree_leaves(cache)[0]
+            )
+            # S is axis 3 in every layout: head-major [L, B, H, S, Dh]
+            # and the split-flat K [L, B, Hkv·Dh, S] (ndim 4)
+            S = kq0.shape[3]
             # position t (absolute input_pos + t) attends to cache slot s
             # iff s <= input_pos + t
             if vector_pos:
