@@ -572,3 +572,87 @@ def test_int4_banded_variant_matches():
         np.testing.assert_array_equal(
             np.asarray(out, np.float32), np.asarray(outb, np.float32)
         )
+
+def test_int4_stacked_layer_idx_matches():
+    """int4_dq_matmul with a stacked [L, Kp, N] weight + traced
+    layer_idx (scalar-prefetch block indexing) must equal per-layer
+    unstacked calls — including under lax.scan."""
+    from torchao_tpu.kernels.int4_matmul import (
+        int4_dq_matmul,
+        int4_dq_matmul_reference,
+    )
+
+    rng = np.random.RandomState(12)
+    L, K, N, g = 3, 2048, 2048, 32
+    Kp = K // 2
+    x = jnp.asarray(rng.randn(1, K), jnp.bfloat16)
+    wp = jnp.asarray(rng.randint(0, 256, (L, Kp, N)), jnp.uint8)
+    scale = jnp.asarray(
+        rng.rand(L, K // g, N) * 0.01 + 0.005, jnp.bfloat16
+    )
+    zero = jnp.asarray(rng.randn(L, K // g, N) * 0.02, jnp.bfloat16)
+
+    for l in range(L):
+        stacked = int4_dq_matmul(
+            x, wp, scale, zero, group_size=g,
+            variant="batched_int8", interpret=True,
+            layer_idx=jnp.int32(l),
+        )
+        single = int4_dq_matmul(
+            x, wp[l], scale[l], zero[l], group_size=g,
+            variant="batched_int8", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(stacked, np.float32),
+            np.asarray(single, np.float32), rtol=0, atol=2e-6,
+        )
+        ref = int4_dq_matmul_reference(
+            x, wp[l], scale[l], zero[l], group_size=g
+        )
+        err = compute_error(
+            jnp.asarray(ref, jnp.float32),
+            jnp.asarray(stacked, jnp.float32),
+        )
+        assert err > 40, (l, err)
+
+    def layer(xc, l):
+        o = int4_dq_matmul(
+            xc, wp, scale, zero, group_size=g,
+            variant="batched_int8", interpret=True, layer_idx=l,
+        )
+        return (o[:, :K] * 0.01).astype(jnp.bfloat16), o
+
+    xs, outs = jax.lax.scan(layer, x, jnp.arange(L, dtype=jnp.int32))
+    xc = x
+    for l in range(L):
+        expect = int4_dq_matmul(
+            xc, wp[l], scale[l], zero[l], group_size=g,
+            variant="batched_int8", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[l], np.float32),
+            np.asarray(expect, np.float32), rtol=0, atol=2e-6,
+        )
+        xc = (expect[:, :K] * 0.01).astype(jnp.bfloat16)
+
+def test_int8wo_stacked_layer_idx_matches():
+    """int8wo_mixed_matmul with stacked [L, N, K] weights + traced
+    layer_idx must match per-layer unstacked calls."""
+    from torchao_tpu.kernels.int8_matmul import int8wo_mixed_matmul
+
+    rng = np.random.RandomState(13)
+    L, N, K = 3, 256, 512
+    x = jnp.asarray(rng.randn(2, K), jnp.bfloat16)
+    wq = jnp.asarray(rng.randint(-127, 128, (L, N, K)), jnp.int8)
+    ws = jnp.asarray(rng.rand(L, N) * 0.02 + 0.01, jnp.float32)
+    for l in range(L):
+        stacked = int8wo_mixed_matmul(
+            x, wq, ws, interpret=True, layer_idx=jnp.int32(l)
+        )
+        single = int8wo_mixed_matmul(
+            x, wq[l], ws[l], interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(stacked, np.float32),
+            np.asarray(single, np.float32), rtol=0, atol=2e-6,
+        )

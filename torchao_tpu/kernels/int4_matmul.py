@@ -91,13 +91,14 @@ def _kernel_v2(
 
 
 def _kernel_bint8(
+    l_ref,      # scalar prefetch: [1] int32 layer index (0 if unstacked)
     x3lo_ref,   # [bg, bm, g] bf16 — x pre-grouped: x3[gi] = x[:, gi·g:(gi+1)·g]
     x3hi_ref,   # [bg, bm, g]
-    wp_ref,     # [bkp, bn] uint8
-    slo_ref,    # [bg, bn] f32 — lo-half group scales
-    shi16_ref,  # [bg, bn] f32 — hi-half group scales / 16
-    z2lo_ref,   # [bg, bn] bf16 — z − mid·s (lo)
-    z2hi_ref,   # [bg, bn] bf16 — z + (8 − mid)·s (hi)
+    wp_ref,     # [1, bkp, bn] uint8 — one layer's block of [L, Kp, N]
+    slo_ref,    # [1, bg, bn] f32 — lo-half group scales
+    shi16_ref,  # [1, bg, bn] f32 — hi-half group scales / 16
+    z2lo_ref,   # [1, bg, bn] bf16 — z − mid·s (lo)
+    z2hi_ref,   # [1, bg, bn] bf16 — z + (8 − mid)·s (hi)
     out_ref, acc_ref, *, n_k_blocks: int,
 ):
     """Batched-int8 variant: zero float casts on the weight path.
@@ -116,17 +117,24 @@ def _kernel_bint8(
               + rowsum terms``
     with all scale math on [bg, bm, bn] partials instead of per weight
     element. Wins for small M (decode GEMV); per-partial cost grows
-    with bm, so large-M callers use the fused variant."""
+    with bm, so large-M callers use the fused variant.
+
+    Weight-side operands carry a leading layer axis indexed by the
+    scalar-prefetched ``l_ref`` via the BlockSpec index maps, so a
+    stacked [L, Kp, N] weight inside ``lax.scan`` feeds the kernel with
+    NO per-layer slice materialization — XLA cannot fuse a
+    dynamic-slice into a custom call, so slicing first would copy every
+    weight once per decode step (profiled: ~40% of the decode step)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    bkp, bn = wp_ref.shape
+    _, bkp, bn = wp_ref.shape
     bg, bm, g = x3lo_ref.shape
 
-    w = wp_ref[:]
+    w = wp_ref[0]
     lo3 = (w & jnp.uint8(0xF)).astype(jnp.int8).reshape(bg, g, bn)
     b3 = (w ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(bg, g, bn)
 
@@ -145,9 +153,9 @@ def _kernel_bint8(
     # scale refs may be f32 (derived per call) or bf16 (precomputed
     # ``scale_eff`` leaves); cast-in-VMEM is per scale element, cheap
     contrib = (
-        plo[:, :bm, :] * slo_ref[:].astype(jnp.float32)[:, None, :]
+        plo[:, :bm, :] * slo_ref[0].astype(jnp.float32)[:, None, :]
         + (pb - plo[:, bm:, :])
-        * shi16_ref[:].astype(jnp.float32)[:, None, :]
+        * shi16_ref[0].astype(jnp.float32)[:, None, :]
     )
     acc_ref[:] += jnp.sum(contrib, axis=0)
 
@@ -155,11 +163,11 @@ def _kernel_bint8(
     rs_lo = jnp.sum(xlo, axis=2)                        # [bg, bm]
     rs_hi = jnp.sum(xhi, axis=2)
     acc_ref[:] += jax.lax.dot_general(
-        rs_lo, z2lo_ref[:], (((0,), (0,)), ((), ())),
+        rs_lo, z2lo_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc_ref[:] += jax.lax.dot_general(
-        rs_hi, z2hi_ref[:], (((0,), (0,)), ((), ())),
+        rs_hi, z2hi_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -348,10 +356,20 @@ def int4_dq_matmul(
     bkp: Optional[int] = None,
     interpret: bool = False,
     variant: str = "auto",
+    layer_idx=None,
 ) -> jnp.ndarray:
-    """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n])."""
+    """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n]).
+
+    ``layer_idx`` (traced int32): all weight-side operands carry a
+    leading stacked-layer axis; the batched_int8 variant indexes it
+    inside the kernel via scalar prefetch (zero-copy under ``lax.scan``
+    — see ``_bint8_call``); other variants fall back to an XLA slice.
+    """
     M, K = x.shape
-    Kp, N = wp.shape
+    if layer_idx is not None:
+        _, Kp, N = wp.shape
+    else:
+        Kp, N = wp.shape
     assert Kp * 2 == K, (K, Kp)
     g_eff = min(group_size, Kp)
     assert Kp % g_eff == 0, (Kp, g_eff)
@@ -410,8 +428,17 @@ def int4_dq_matmul(
         return _bint8_call(
             x, wp, scale, zero, scale_eff, zero_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
-            interpret=interpret,
+            interpret=interpret, layer_idx=layer_idx,
         )
+    if layer_idx is not None:
+        # non-bint8 variants: materialize the layer slice (XLA copy)
+        wp = wp[layer_idx]
+        scale = scale[layer_idx]
+        zero = zero[layer_idx] if zero is not None else None
+        scale_eff = (
+            scale_eff[layer_idx] if scale_eff is not None else None
+        )
+        zero_eff = zero_eff[layer_idx] if zero_eff is not None else None
     if variant == "banded" and M <= 16:
         return _banded_call(
             x, wp, scale, zero, scale_eff, zero_eff,
@@ -456,11 +483,23 @@ def int4_dq_matmul(
 
 def _bint8_call(
     x, wp, scale, zero, scale_eff=None, zero_eff=None,
-    *, group_size, mid, bm, bn, bkp, interpret,
+    *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
 ):
-    """Launch the batched-int8 variant (see ``_kernel_bint8``)."""
+    """Launch the batched-int8 variant (see ``_kernel_bint8``).
+
+    ``layer_idx`` (traced int32 scalar) selects one layer of STACKED
+    weight-side operands (``wp`` [L, Kp, N], scales [L, ·, N]) via
+    scalar-prefetch index maps — no per-layer slice materialization
+    inside ``lax.scan``. Unstacked operands are viewed as L = 1."""
     M, K = x.shape
-    Kp, N = wp.shape
+    if layer_idx is None:
+        wp = wp[None]
+        scale = scale[None]
+        zero = zero[None] if zero is not None else None
+        scale_eff = scale_eff[None] if scale_eff is not None else None
+        zero_eff = zero_eff[None] if zero_eff is not None else None
+        layer_idx = 0
+    _, Kp, N = wp.shape
     g = group_size
     nG = Kp // g            # groups per packed half
     bg = bkp // g
@@ -473,44 +512,57 @@ def _bint8_call(
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
     if scale_eff is not None and zero_eff is not None:
         # precomputed at quantize time (qtypes/intx.py
-        # ``_tiled_eff_qparams``) — no per-call qparam transform traffic
-        s_lo = scale_eff[:nG]
-        shi16 = scale_eff[nG:]
-        z2lo = zero_eff[:nG]
-        z2hi = zero_eff[nG:]
+        # ``_tiled_eff_qparams``); lo/hi halves are addressed by the
+        # BlockSpec index maps (k vs k + nbk) — no XLA slicing here
+        s_all, z_all = scale_eff, zero_eff
+        s_off = z_off = nbk
     else:
-        s_lo = scale[:nG].astype(jnp.float32)
-        s_hi = scale[nG:].astype(jnp.float32)
-        z_lo = zero[:nG].astype(jnp.float32)
-        z_hi = zero[nG:].astype(jnp.float32)
+        s_lo = scale[:, :nG].astype(jnp.float32)
+        s_hi = scale[:, nG:].astype(jnp.float32)
+        z_lo = zero[:, :nG].astype(jnp.float32)
+        z_hi = zero[:, nG:].astype(jnp.float32)
         z2lo = (z_lo - mid * s_lo).astype(jnp.bfloat16)
         z2hi = (z_hi + (8.0 - mid) * s_hi).astype(jnp.bfloat16)
-        shi16 = s_hi / 16.0
+        s_all = jnp.concatenate([s_lo, s_hi / 16.0], axis=1)
+        z_all = jnp.concatenate([z2lo, z2hi], axis=1)
+        s_off = z_off = nbk
 
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk)
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bg, bm, g), lambda i, j, k: (k, i, 0)),
-            pl.BlockSpec((bg, bm, g), lambda i, j, k: (k + nbk, i, 0)),
-            pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bg, bm, g), lambda i, j, k, l: (k, i, 0)),
+            pl.BlockSpec(
+                (bg, bm, g), lambda i, j, k, l: (k + nbk, i, 0)
+            ),
+            pl.BlockSpec((1, bkp, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec(
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + s_off, j)
+            ),
+            pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec(
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + z_off, j)
+            ),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=6 * M * N * K,
-            bytes_accessed=Kp * N + scale.size * 4 + M * K * 4,
+            bytes_accessed=Kp * N + scale.size * 4 // max(wp.shape[0], 1)
+            + M * K * 4,
             transcendentals=0,
         ),
-    )(x3, x3, wp, s_lo, shi16, z2lo, z2hi)
+    )(lvec, x3, x3, wp, s_all, s_all, z_all, z_all)
     return out
 
 
@@ -593,7 +645,7 @@ def int4_dq_matmul_reference(x, wp, scale, zero, *, group_size, mid=8.0):
 # ---------------------------------------------------------------------------
 
 
-def int4_dq_matmul_available(x, w):
+def int4_dq_matmul_available(x, w, layer_idx=None):
     """Returns an impl callable when the Pallas kernel supports this case
     (TILED_NIBBLES K-major layout, aligned shapes, FLOAT zero domain)."""
     from torchao_tpu.qtypes.intx import IntxArray
@@ -624,9 +676,10 @@ def int4_dq_matmul_available(x, w):
         and w.zero_point_domain is not ZeroPointDomain.FLOAT
     ):
         return None
-    if w.qdata.ndim != 2:
+    stacked = layer_idx is not None
+    if w.qdata.ndim != (3 if stacked else 2):
         return None
-    N, K = w.shape
+    N, K = w.shape[-2:]
     group_size = w.block_size[-1]
     Kp = K // 2
     # the kernel needs whole groups inside each packed half AND scale
@@ -670,7 +723,8 @@ def int4_dq_matmul_available(x, w):
             lambda cfg: int4_dq_matmul(
                 xb, w.qdata, w.scale, zero,
                 w.scale_eff, w.zero_eff,
-                group_size=group_size, mid=mid, **cfg,
+                group_size=group_size, mid=mid,
+                layer_idx=layer_idx, **cfg,
             ),
         )
         if tuned:
@@ -678,7 +732,7 @@ def int4_dq_matmul_available(x, w):
         out = int4_dq_matmul(
             xb, w.qdata, w.scale, zero,
             w.scale_eff, w.zero_eff,
-            group_size=group_size, mid=mid, **kw,
+            group_size=group_size, mid=mid, layer_idx=layer_idx, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))
 

@@ -165,7 +165,12 @@ def int8_scaled_matmul_available(x_q, w):
 # ---------------------------------------------------------------------------
 
 
-def _wo_kernel(x_ref, w_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
+def _wo_kernel(l_ref, x_ref, w_ref, ws_ref, out_ref, acc_ref,
+               *, n_k_blocks):
+    # weight operands carry a leading stacked-layer axis addressed by
+    # the scalar-prefetched l_ref in the BlockSpec index maps — a
+    # sliced operand cannot fuse into a Pallas call and would copy the
+    # full weight per lax.scan step (see int4_matmul._kernel_bint8)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -173,14 +178,14 @@ def _wo_kernel(x_ref, w_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        x_ref[:], w_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == n_k_blocks - 1)
     def _():
         out_ref[:] = (
-            acc_ref[:] * ws_ref[:].astype(jnp.float32)
+            acc_ref[:] * ws_ref[0].astype(jnp.float32)
         ).astype(out_ref.dtype)
 
 
@@ -189,16 +194,21 @@ def _wo_kernel(x_ref, w_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
 )
 def int8wo_mixed_matmul(
     x: jnp.ndarray,        # [M, K] bf16/f32
-    w_q: jnp.ndarray,      # [N, K] int8
-    w_scale: jnp.ndarray,  # [N]
+    w_q: jnp.ndarray,      # [(L,) N, K] int8
+    w_scale: jnp.ndarray,  # [(L,) N]
     *,
     bm: Optional[int] = None,
     bn: int = 1024,
     bk: int = 2048,
     interpret: bool = False,
+    layer_idx=None,
 ) -> jnp.ndarray:
     M, K = x.shape
-    N, K2 = w_q.shape
+    if layer_idx is None:
+        w_q = w_q[None]
+        w_scale = w_scale.reshape(1, -1)
+        layer_idx = 0
+    L, N, K2 = w_q.shape
     assert K == K2, (K, K2)
     bn = min(bn, N)
     bk = min(bk, K)
@@ -207,28 +217,33 @@ def int8wo_mixed_matmul(
     bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     nbk = cdiv(K, bk)
-    out = pl.pallas_call(
-        functools.partial(_wo_kernel, n_k_blocks=nbk),
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(cdiv(M, bm), cdiv(N, bn), nbk),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((1, bn, bk), lambda i, j, k, l: (l[0], j, k)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_wo_kernel, n_k_blocks=nbk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=N * K + M * K * 2 + N * 4,
             transcendentals=0,
         ),
-    )(x, w_q, w_scale.reshape(1, -1))
+    )(lvec, x, w_q, w_scale.reshape(L, 1, N))
     return out
 
 
-def int8wo_mixed_matmul_available(x, w):
+def int8wo_mixed_matmul_available(x, w, layer_idx=None):
     """Probe: PLAIN int8 2-D weight with per-channel scales, aligned."""
     import os
 
@@ -239,22 +254,25 @@ def int8wo_mixed_matmul_available(x, w):
         return None
     if jax.default_backend() not in ("tpu", "axon"):
         return None
-    if not isinstance(w, IntxArray) or w.qdata.ndim != 2:
+    stacked = layer_idx is not None
+    if not isinstance(w, IntxArray) or w.qdata.ndim != (3 if stacked else 2):
         return None
     if w.packing_format is not PackingFormat.PLAIN:
         return None
     if str(w.qdata.dtype) != "int8":
         return None
-    N, K = w.qdata.shape
+    N, K = w.qdata.shape[-2:]
     if N % 128 != 0 or K % 128 != 0:
         return None
-    if w.scale.size != N:
+    if w.scale.size != N * (w.qdata.shape[0] if stacked else 1):
         return None
 
     def impl(x, w):
         xb = x.reshape(-1, K)
+        ws = w.scale.astype(jnp.float32)
+        ws = ws.reshape(-1, N) if stacked else ws.reshape(-1)
         out = int8wo_mixed_matmul(
-            xb, w.qdata, w.scale.reshape(-1).astype(jnp.float32)
+            xb, w.qdata, ws, layer_idx=layer_idx
         )
         return out.reshape(x.shape[:-1] + (N,))
 

@@ -516,14 +516,15 @@ def quantized_kv_attention_smajor(
 
 
 def _kernel_bdq(
+    l_ref,    # scalar prefetch: [1] int32 stacked-layer index (0 if unstacked)
     pos_ref,  # scalar prefetch: [B] int32
     qbd_ref,  # [1, H·G, H·Dh] bf16 — block-diagonal Q (built in XLA)
-    kq_ref,   # [1, H·Dh, bs] int8 — D-major K cache block
-    ks_ref,   # [1, H, bs] bf16
-    vq_ref,   # [1, bs, H·Dh] int8 — S-major V cache block
-    vs_ref,   # [1, H, bs] bf16
+    kq_ref,   # [1, 1, H·Dh, bs] int8 — one layer's D-major K cache block
+    ks_ref,   # [1, 1, H, bs] bf16
+    vq_ref,   # [1, 1, bs, H·Dh] int8 — one layer's S-major V cache block
+    vs_ref,   # [1, 1, H, bs] bf16
     out_ref,  # [1, H·G, Dh] f32
-    m_ref, l_ref, acc_ref,
+    m_ref, l_ref_s, acc_ref,
     *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
 ):
     """Block-diagonal-Q flash decode on the split flat cache.
@@ -557,7 +558,7 @@ def _kernel_bdq(
     @pl.when(s == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        l_ref_s[:] = jnp.zeros_like(l_ref_s)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     pos = pos_ref[pl.program_id(0)]
@@ -568,11 +569,11 @@ def _kernel_bdq(
     def _():
         qbd = qbd_ref[0]                                 # [HG, HDh]
         raw = jax.lax.dot_general(
-            qbd, kq_ref[0], (((1,), (0,)), ((), ())),
+            qbd, kq_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                # [HG, bs]
         # per-(head, key) scale rows, repeated G-fold: [H, bs] → [HG, bs]
-        kst = jnp.repeat(ks_ref[0].astype(jnp.float32), G, axis=0)
+        kst = jnp.repeat(ks_ref[0, 0].astype(jnp.float32), G, axis=0)
         scores = raw * kst * scale
 
         idx = block_start + jax.lax.broadcasted_iota(
@@ -587,10 +588,10 @@ def _kernel_bdq(
         p = jnp.exp(scores - m_new)
         alpha = jnp.exp(m_old - m_new)
 
-        vst = jnp.repeat(vs_ref[0].astype(jnp.float32), G, axis=0)
+        vst = jnp.repeat(vs_ref[0, 0].astype(jnp.float32), G, axis=0)
         p2 = (p * vst).astype(jnp.bfloat16)
         wide = jax.lax.dot_general(
-            p2, vq_ref[0], (((1,), (0,)), ((), ())),
+            p2, vq_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                # [HG, HDh]
         # diagonal-band extraction: [HG, HDh] → [HG, H, Dh], keep h'==h
@@ -602,12 +603,12 @@ def _kernel_bdq(
         pv = jnp.sum(jnp.where(hsel, w3, 0.0), axis=1)   # [HG, Dh]
 
         m_ref[:] = m_new
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_ref_s[:] = l_ref_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(s == n_s_blocks - 1)
     def _():
-        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref_s[:], 1e-30)
 
 
 @functools.partial(
@@ -615,23 +616,35 @@ def _kernel_bdq(
 )
 def quantized_kv_decode_attention_bdq(
     q: jnp.ndarray,        # [B, Hkv, G, Dh] bf16 — decode (T=1)
-    k_q: jnp.ndarray,      # [B, Hkv·Dh, S] int8 — D-major flat K
-    k_scale: jnp.ndarray,  # [B, Hkv, S]
-    v_q: jnp.ndarray,      # [B, S, Hkv·Dh] int8 — S-major flat V
-    v_scale: jnp.ndarray,  # [B, Hkv, S]
+    k_q: jnp.ndarray,      # [(L,) B, Hkv·Dh, S] int8 — D-major flat K
+    k_scale: jnp.ndarray,  # [(L,) B, Hkv, S]
+    v_q: jnp.ndarray,      # [(L,) B, S, Hkv·Dh] int8 — S-major flat V
+    v_scale: jnp.ndarray,  # [(L,) B, Hkv, S]
     pos: jnp.ndarray,      # scalar or [B] int32
     *,
     scale: Optional[float] = None,
     bs: int = 1024,
     interpret: bool = False,
+    layer_idx=None,
 ) -> jnp.ndarray:
     """Block-diagonal-Q flash decode on the split flat cache (see
     ``_kernel_bdq``). Returns [B, Hkv, G, Dh] f32. Decode-only (T=1);
     prefill keeps the head-major kernels (it is MXU-bound, not
-    cache-streaming-bound)."""
+    cache-streaming-bound).
+
+    With ``layer_idx`` (traced int32), the cache arrays are STACKED
+    ([L, ...]) and the kernel indexes the layer in its BlockSpecs — no
+    per-layer slice materialization under ``lax.scan`` (a sliced
+    operand cannot fuse into a Pallas call; profiled as a full cache
+    copy per layer per decode step)."""
     B, H, G, Dh = q.shape
-    S = v_q.shape[1]
-    assert k_q.shape == (B, H * Dh, S), (k_q.shape, H, Dh, S)
+    if layer_idx is None:
+        k_q, k_scale, v_q, v_scale = (
+            a[None] for a in (k_q, k_scale, v_q, v_scale)
+        )
+        layer_idx = 0
+    S = v_q.shape[2]
+    assert k_q.shape[1:] == (B, H * Dh, S), (k_q.shape, H, Dh, S)
     assert v_q.shape[-1] == H * Dh, (v_q.shape, H, Dh)
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
@@ -648,19 +661,27 @@ def quantized_kv_decode_attention_bdq(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, n_s),
         in_specs=[
             pl.BlockSpec(
-                (1, H * G, H * Dh), lambda b, s, *p: (b, 0, 0)
+                (1, H * G, H * Dh), lambda b, s, l, p: (b, 0, 0)
             ),
-            pl.BlockSpec((1, H * Dh, bs), lambda b, s, *p: (b, 0, s)),
-            pl.BlockSpec((1, H, bs), lambda b, s, *p: (b, 0, s)),
-            pl.BlockSpec((1, bs, H * Dh), lambda b, s, *p: (b, s, 0)),
-            pl.BlockSpec((1, H, bs), lambda b, s, *p: (b, 0, s)),
+            pl.BlockSpec(
+                (1, 1, H * Dh, bs), lambda b, s, l, p: (l[0], b, 0, s)
+            ),
+            pl.BlockSpec(
+                (1, 1, H, bs), lambda b, s, l, p: (l[0], b, 0, s)
+            ),
+            pl.BlockSpec(
+                (1, 1, bs, H * Dh), lambda b, s, l, p: (l[0], b, s, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, H, bs), lambda b, s, l, p: (l[0], b, 0, s)
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, H * G, Dh), lambda b, s, *p: (b, 0, 0)
+            (1, H * G, Dh), lambda b, s, l, p: (b, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((H * G, 1), jnp.float32),
@@ -681,7 +702,8 @@ def quantized_kv_decode_attention_bdq(
     pos_vec = jnp.broadcast_to(
         jnp.atleast_1d(pos).astype(jnp.int32), (B,)
     )
-    out = out_call(pos_vec, qbd, k_q, k_scale, v_q, v_scale)
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+    out = out_call(lvec, pos_vec, qbd, k_q, k_scale, v_q, v_scale)
     return out.reshape(B, H, G, Dh)
 
 

@@ -168,10 +168,18 @@ def benchmark_decode(
             batch_size, max_seq, quantize=kv_cache_quantization
         )
         first, cache = prefill(params, prompt, cache, key, 0.6, 200)
+        # sync the prefill via value fetch (block_until_ready can return
+        # early on remote backends — .claude/skills/verify/SKILL.md) so
+        # the timed region below is the DECODE phase alone; prefill
+        # latency is reported separately as ttft. (Before 2026-08 the
+        # timer covered setup+prefill+decode ÷ num_tokens, which at long
+        # context under-reported decode tok/s by ~2x: an 8k prefill is
+        # ~1.3 s ≈ 20 ms/token at num_tokens=64.)
+        int(first[0])
+        t0 = time.perf_counter()
         rest, cache = decode_n(params, first, cache, prompt_len, key, 0.6, 200)
-        # NOTE: sync via value fetch — block_until_ready can return early
-        # on remote backends (see .claude/skills/verify/SKILL.md)
-        return int(rest[0, -1])
+        val = int(rest[0, -1])
+        return time.perf_counter() - t0
 
     # warmup / compile
     for _ in range(warmup):
@@ -179,9 +187,7 @@ def benchmark_decode(
 
     times = []
     for _ in range(iters):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
+        times.append(run())
     t = min(times)
 
     # TTFT: prefill latency alone (p50 over iters), sync via value fetch

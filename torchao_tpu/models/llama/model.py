@@ -321,24 +321,41 @@ def _kv_is_smajor(layer_cache) -> bool:
     return "k_q" in layer_cache and layer_cache["k_q"].ndim == 3
 
 
-def _smajor_write(cache_arr, new_vals, input_pos, axis):
+def _smajor_write(cache_arr, new_vals, input_pos, axis, l=None):
     """Write new values into a flat cache at ``input_pos`` along
     ``axis`` (1 = S-major rows [B, S, X]; 2 = minor dim of [B, X, S]).
-    ``input_pos`` is a shared scalar or per-slot [B] vector."""
+    ``input_pos`` is a shared scalar or per-slot [B] vector. With ``l``
+    (traced int32), ``cache_arr`` is the STACKED [L, B, ...] cache and
+    the write lands in-place at layer ``l`` (the cache rides the layer
+    scan as a carry — no per-layer slice/restack traffic)."""
     new_vals = new_vals.astype(cache_arr.dtype)
-    if getattr(input_pos, "ndim", 0) == 1:
-        def upd(c, nv, p):
-            start = (p, 0) if axis == 1 else (0, p)
-            return jax.lax.dynamic_update_slice(c, nv, start)
-        return jax.vmap(upd)(cache_arr, new_vals, input_pos)
-    start = (0, input_pos, 0) if axis == 1 else (0, 0, input_pos)
-    return jax.lax.dynamic_update_slice(cache_arr, new_vals, start)
+    vector = getattr(input_pos, "ndim", 0) == 1
+    if l is None:
+        if vector:
+            def upd(c, nv, p):
+                start = (p, 0) if axis == 1 else (0, p)
+                return jax.lax.dynamic_update_slice(c, nv, start)
+            return jax.vmap(upd)(cache_arr, new_vals, input_pos)
+        start = (0, input_pos, 0) if axis == 1 else (0, 0, input_pos)
+        return jax.lax.dynamic_update_slice(cache_arr, new_vals, start)
+    if vector:
+        def upd(c, nv, p):  # c: [L, x, y], nv: [x', y']
+            start = (l, p, 0) if axis == 1 else (l, 0, p)
+            return jax.lax.dynamic_update_slice(c, nv[None], start)
+        return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
+            cache_arr, new_vals, input_pos
+        )
+    start = (
+        (l, 0, input_pos, 0) if axis == 1 else (l, 0, 0, input_pos)
+    )
+    return jax.lax.dynamic_update_slice(cache_arr, new_vals[None], start)
 
 
-def _smajor_update(layer_cache, k, v, input_pos):
+def _smajor_update(layer_cache, k, v, input_pos, l=None):
     """Quantize new k/v ([B, Hkv, T, Dh]) per token and write them into
     the split flat cache (K D-major, V S-major — see ``init_kv_cache``).
-    Returns the updated cache pytree."""
+    Returns the updated cache pytree (stacked in-place when ``l`` is
+    given)."""
     B, Hkv, T, Dh = k.shape
     k_q, k_s = _quantize_kv(k)
     v_q, v_s = _quantize_kv(v)
@@ -349,28 +366,35 @@ def _smajor_update(layer_cache, k, v, input_pos):
     v_flat = v_q.transpose(0, 2, 1, 3).reshape(B, T, Hkv * Dh)
 
     return {
-        "k_q": _smajor_write(layer_cache["k_q"], k_flat, input_pos, 2),
-        "v_q": _smajor_write(layer_cache["v_q"], v_flat, input_pos, 1),
+        "k_q": _smajor_write(layer_cache["k_q"], k_flat, input_pos, 2, l),
+        "v_q": _smajor_write(layer_cache["v_q"], v_flat, input_pos, 1, l),
         "k_scale": _smajor_write(
-            layer_cache["k_scale"], k_s[..., 0], input_pos, 2
+            layer_cache["k_scale"], k_s[..., 0], input_pos, 2, l
         ),
         "v_scale": _smajor_write(
-            layer_cache["v_scale"], v_s[..., 0], input_pos, 2
+            layer_cache["v_scale"], v_s[..., 0], input_pos, 2, l
         ),
     }
 
 
-def _smajor_to_hmajor(layer_cache, Hkv, Dh):
+def _smajor_to_hmajor(layer_cache, Hkv, Dh, l=None):
     """View the split flat cache head-major ([B, Hkv, S, Dh] int8 +
-    [B, Hkv, S, 1] scales) — an XLA transpose, used on the non-decode
-    paths (prefill is MXU-bound, not cache-streaming-bound)."""
-    B, S, _ = layer_cache["v_q"].shape
+    [B, Hkv, S, 1] scales) — an XLA transpose (plus a layer slice when
+    stacked), used on the non-decode paths (prefill is MXU-bound, not
+    cache-streaming-bound)."""
+    kq, ks, vq, vs = (
+        layer_cache["k_q"], layer_cache["k_scale"],
+        layer_cache["v_q"], layer_cache["v_scale"],
+    )
+    if l is not None:
+        kq, ks, vq, vs = kq[l], ks[l], vq[l], vs[l]
+    B, S, _ = vq.shape
 
     return (
-        layer_cache["k_q"].reshape(B, Hkv, Dh, S).transpose(0, 1, 3, 2),
-        layer_cache["k_scale"][..., None],
-        layer_cache["v_q"].reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3),
-        layer_cache["v_scale"][..., None],
+        kq.reshape(B, Hkv, Dh, S).transpose(0, 1, 3, 2),
+        ks[..., None],
+        vq.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3),
+        vs[..., None],
     )
 
 
@@ -449,6 +473,17 @@ def _layer_weight(w):
     return w
 
 
+def _lin(x, w, layer_idx):
+    """Layer-aware quantized linear: with ``layer_idx`` the STACKED
+    weight goes straight to ``ops.linear`` so Pallas kernels index the
+    layer in their BlockSpecs (zero-copy under ``lax.scan``; a
+    materialized per-layer slice cannot fuse into a custom call and
+    costs a full weight copy per decode step — profiled ~40%/step)."""
+    if layer_idx is None:
+        return ops.linear(x, _layer_weight(w))
+    return ops.linear(x, w, layer_idx=layer_idx)
+
+
 def _attention(
     x: jnp.ndarray,
     lw: Dict[str, Any],
@@ -457,13 +492,19 @@ def _attention(
     layer_cache,
     input_pos,
     args: ModelArgs,
+    layer_idx=None,
+    stacked_cache: bool = False,
 ):
     """One attention block (reference ``Attention.forward``, model.py:441):
-    fused wqkv → RoPE → cache update → GQA SDPA → wo."""
+    fused wqkv → RoPE → cache update → GQA SDPA → wo. With
+    ``layer_idx``, ``lw`` holds STACKED weights (see ``_lin``); with
+    ``stacked_cache``, ``layer_cache`` is the FULL stacked cache carried
+    through the layer scan and both the update and the attention kernel
+    address layer ``layer_idx`` in place (zero slice/restack traffic)."""
     B, T, D = x.shape
     H, Hkv, Dh = args.n_head, args.n_local_heads, args.head_dim
 
-    qkv = ops.linear(x, _layer_weight(lw["wqkv"]))
+    qkv = _lin(x, lw["wqkv"], layer_idx)
     q, k, v = jnp.split(
         qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1
     )
@@ -490,11 +531,14 @@ def _attention(
         q = apply_hadamard(q)
         k = apply_hadamard(k)
 
-    if layer_cache is not None and _kv_is_smajor(layer_cache):
+    if layer_cache is not None and (
+        stacked_cache or _kv_is_smajor(layer_cache)
+    ):
         # S-major flat cache: decode rides the block-diagonal-Q kernel
         # (fat [bs, Hkv·Dh] cache blocks — the weight-kernel memory
         # shape); prefill transposes to head-major (MXU-bound anyway).
-        new_cache = _smajor_update(layer_cache, k, v, input_pos)
+        lidx = layer_idx if stacked_cache else None
+        new_cache = _smajor_update(layer_cache, k, v, input_pos, l=lidx)
         g = H // Hkv
         pos_vec = (
             input_pos if getattr(input_pos, "ndim", 0) == 1
@@ -510,11 +554,14 @@ def _attention(
                 new_cache["k_q"], new_cache["k_scale"],
                 new_cache["v_q"], new_cache["v_scale"],
                 pos_vec,
+                layer_idx=lidx,
             )  # [B, Hkv, g, Dh] f32
             out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
-            out = ops.linear(out, _layer_weight(lw["wo"]))
+            out = _lin(out, lw["wo"], layer_idx)
             return out, new_cache
-        kq_h, ks_h, vq_h, vs_h = _smajor_to_hmajor(new_cache, Hkv, Dh)
+        kq_h, ks_h, vq_h, vs_h = _smajor_to_hmajor(
+            new_cache, Hkv, Dh, l=lidx
+        )
         if _pallas_attention_enabled():
             from torchao_tpu.kernels.quantized_attention import (
                 quantized_kv_decode_attention,
@@ -535,7 +582,7 @@ def _attention(
                 .reshape(B, T, H * Dh)
                 .astype(x.dtype)
             )
-            out = ops.linear(out, _layer_weight(lw["wo"]))
+            out = _lin(out, lw["wo"], layer_idx)
             return out, new_cache
         # XLA fallback (CPU): dequantize like the reference KV cache
         k_full = kq_h.astype(k.dtype) * ks_h.astype(k.dtype)
@@ -592,7 +639,7 @@ def _attention(
                 .reshape(B, T, H * Dh)
                 .astype(x.dtype)
             )
-            out = ops.linear(out, _layer_weight(lw["wo"]))
+            out = _lin(out, lw["wo"], layer_idx)
             return out, new_cache
         k_full, v_full, new_cache = _update_layer_cache(
             layer_cache, k, v, input_pos
@@ -617,17 +664,17 @@ def _attention(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     out = out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3).reshape(B, T, D)
-    out = ops.linear(out, _layer_weight(lw["wo"]))
+    out = _lin(out, lw["wo"], layer_idx)
     return out, new_cache
 
 
 def _feed_forward(
-    x: jnp.ndarray, lw: Dict[str, Any], r4: bool = False
+    x: jnp.ndarray, lw: Dict[str, Any], r4: bool = False, layer_idx=None
 ) -> jnp.ndarray:
     """SwiGLU MLP (reference ``FeedForward``). ``r4`` applies the
     SpinQuant online Hadamard to the gate output (w2 pre-folded)."""
-    h1 = ops.linear(x, _layer_weight(lw["w1"]))
-    h3 = ops.linear(x, _layer_weight(lw["w3"]))
+    h1 = _lin(x, lw["w1"], layer_idx)
+    h3 = _lin(x, lw["w3"], layer_idx)
     h = jax.nn.silu(h1) * h3
     if r4:
         from torchao_tpu.prototype.spinquant.hadamard_utils import (
@@ -635,7 +682,7 @@ def _feed_forward(
         )
 
         h = apply_hadamard(h)
-    return ops.linear(h, _layer_weight(lw["w2"]))
+    return _lin(h, lw["w2"], layer_idx)
 
 
 def transformer_forward(
@@ -686,24 +733,71 @@ def transformer_forward(
         else:
             mask = jnp.tril(jnp.ones((T, T), bool))
 
+    # The scan iterates over LAYER INDICES; the stacked weights stay
+    # closed over (they are jit args, not constants) and quantized
+    # linears index the layer inside their Pallas BlockSpecs — scanning
+    # over sliced weights instead would materialize a copy of every
+    # weight per step (XLA cannot fuse a dynamic-slice into a custom
+    # call; profiled at ~40% of the decode step). Norm weights are
+    # sliced here: tiny, and XLA fuses slices into elementwise consumers.
+    lws = params["layers"]
+
     def body(x, layer_in):
-        lw, layer_cache = layer_in
+        l, layer_cache = layer_in
         h, new_cache = _attention(
-            rms_norm(x, lw["attention_norm"]["weight"], args.norm_eps),
-            lw["attention"], freqs, mask, layer_cache, input_pos, args,
+            rms_norm(x, lws["attention_norm"]["weight"][l], args.norm_eps),
+            lws["attention"], freqs, mask, layer_cache, input_pos, args,
+            layer_idx=l,
         )
         x = x + h
         x = x + _feed_forward(
-            rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
-            lw["feed_forward"],
+            rms_norm(x, lws["ffn_norm"]["weight"][l], args.norm_eps),
+            lws["feed_forward"],
             r4=args.use_r4_hadamard,
+            layer_idx=l,
         )
         return x, new_cache
 
-    if cache is not None:
-        x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    layer_ids = jnp.arange(args.n_layer, dtype=jnp.int32)
+    smajor_stacked = (
+        cache is not None
+        and isinstance(cache, dict)
+        and "k_q" in cache
+        and cache["k_q"].ndim == 4  # split-flat K [L, B, Hkv·Dh, S]
+    )
+    if smajor_stacked:
+        # the whole stacked cache rides the scan as a CARRY: the update
+        # writes layer l in place and the bdq kernel indexes layer l in
+        # its BlockSpecs — no per-layer slice (xs) / restack (ys)
+        # traffic, which profiled as a full cache copy per decode step.
+        def body_c(carry, l):
+            x, c = carry
+            h, c = _attention(
+                rms_norm(
+                    x, lws["attention_norm"]["weight"][l], args.norm_eps
+                ),
+                lws["attention"], freqs, mask, c, input_pos, args,
+                layer_idx=l, stacked_cache=True,
+            )
+            x = x + h
+            x = x + _feed_forward(
+                rms_norm(x, lws["ffn_norm"]["weight"][l], args.norm_eps),
+                lws["feed_forward"],
+                r4=args.use_r4_hadamard,
+                layer_idx=l,
+            )
+            return (x, c), None
+
+        (x, new_cache), _ = jax.lax.scan(body_c, (x, cache), layer_ids)
+    elif cache is not None:
+        x, new_cache = jax.lax.scan(body, x, (layer_ids, cache))
     else:
-        x, new_cache = _scan_no_cache(body, x, params["layers"])
+        def body2(x, l):
+            x, _ = body(x, (l, None))
+            return x, None
+
+        x, _ = jax.lax.scan(body2, x, layer_ids)
+        new_cache = None
 
     x = rms_norm(x, params["norm"]["weight"], args.norm_eps)
     if args.tie_word_embeddings:

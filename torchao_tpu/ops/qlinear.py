@@ -74,14 +74,30 @@ def linear(
     bias: Optional[jnp.ndarray] = None,
     *,
     kernel_preference: KernelPreference = KernelPreference.AUTO,
+    layer_idx=None,
 ) -> jnp.ndarray:
     """``x @ w.T + bias`` with quantized-weight dispatch.
 
     ``w`` may be a plain jnp array or any registered QuantizedArray.
+
+    ``layer_idx`` (traced int32): ``w`` is a STACKED per-layer weight
+    ([L, out, in]); kernels that support scalar-prefetch layer indexing
+    consume the stacked leaves directly (zero-copy under ``lax.scan`` —
+    a materialized per-layer slice cannot fuse into a Pallas custom
+    call and costs a full weight copy per step, profiled at ~40% of a
+    decode step); everything else falls back to ``take_layer``.
     """
     if not isinstance(w, QuantizedArray):
+        if layer_idx is not None:
+            w = w[layer_idx]
         out = jnp.matmul(x, w.T)
         return out + bias if bias is not None else out
+
+    if layer_idx is not None:
+        out = _stacked_linear(x, w, bias, kernel_preference, layer_idx)
+        if out is not None:
+            return out
+        w = w.take_layer(layer_idx)
 
     for name, check, impl in _DISPATCH:
         if check(x, w, bias):
@@ -91,6 +107,27 @@ def linear(
     wd = w.dequantize(x.dtype)
     out = jnp.matmul(x, wd.T)
     return out + bias if bias is not None else out
+
+
+def _stacked_linear(x, w, bias, preference, layer_idx):
+    """Zero-copy stacked-weight fast paths (returns None if no kernel
+    supports this weight stacked — caller then slices)."""
+    if not _use_pallas(preference):
+        return None
+    if isinstance(w, IntxArray) and w.ndim == 3:
+        from torchao_tpu.kernels import int4_matmul, int8_matmul
+
+        impl = int4_matmul.int4_dq_matmul_available(
+            x, w, layer_idx=layer_idx
+        )
+        if impl is None and w.target_dtype == "int8":
+            impl = int8_matmul.int8wo_mixed_matmul_available(
+                x, w, layer_idx=layer_idx
+            )
+        if impl is not None:
+            out = impl(x, w)
+            return out + bias if bias is not None else out
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,23 @@ class QuantizedArray:
             return self
         return dataclasses.replace(self, **updates)
 
+    def take_layer(self, l) -> "QuantizedArray":
+        """Dynamic-index the leading layer axis of every array leaf
+        (traced index ``l``) and fix static metadata — the
+        dynamic-slice analog of :meth:`unstack_layer`. NOTE: when the
+        result feeds a Pallas kernel, XLA must MATERIALIZE the slice (a
+        full per-layer copy — custom calls can't fuse slices); prefer
+        kernels that take the stacked array + layer index directly
+        (e.g. ``int4_dq_matmul(..., layer_idx=)``)."""
+        updates = {}
+        for name in self.__qarray_data_fields__:
+            v = getattr(self, name)
+            if isinstance(v, QuantizedArray):
+                updates[name] = v.take_layer(l)  # nested (e.g. LAQT)
+            elif v is not None:
+                updates[name] = v[l]
+        return dataclasses.replace(self, **updates).unstack_layer()
+
     def _leaf_ndim(self) -> int:
         """ndim of the primary data leaf (qdata) as currently stored."""
         for name in self.__qarray_data_fields__:
