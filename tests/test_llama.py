@@ -188,7 +188,8 @@ class TestQuantizedModel:
         )
 
         monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: False)
-        qc_ref = model.setup_caches(2, 8, quantize=True)
+        qc_ref = model.setup_caches(2, 8, quantize="int8_hmajor")
+        assert qc_ref["k_q"].ndim == 5  # reference head-major layout
         l_ref, qc_ref = model(params, toks, 0, qc_ref)
         nxt = jnp.argmax(l_ref[:, -1], -1).astype(jnp.int32)[:, None]
         d_ref, _ = model(params, nxt, 6, qc_ref)
@@ -446,3 +447,32 @@ def test_attention_bdq_matches_oracle():
         jnp.asarray(out, jnp.float32),
     )
     assert err > 45, err
+
+
+
+def test_smajor_cache_vector_pos(model_and_params, monkeypatch):
+    """Per-slot [B] input_pos (continuous batching) on the smajor
+    stacked-carry cache: vmapped minor-dim writes + bdq per-batch
+    masking must match per-slot scalar-pos runs."""
+    import torchao_tpu.models.llama.model as M
+
+    model, params = model_and_params
+    monkeypatch.setattr(M, "_pallas_attention_enabled", lambda: True)
+    rs = np.random.RandomState(9)
+    toks = jnp.asarray(rs.randint(0, 512, (2, 1)), jnp.int32)
+    pos = jnp.asarray([5, 2], jnp.int32)
+
+    qc = model.setup_caches(2, 8, quantize=True)
+    # seed the caches with a shared prefill so history is nonzero
+    seed = jnp.asarray(rs.randint(0, 512, (2, 6)), jnp.int32)
+    _, qc = model(params, seed, 0, qc)
+    l_vec, _ = model(params, toks, pos, qc)
+
+    for b in range(2):
+        qc_b = model.setup_caches(1, 8, quantize=True)
+        _, qc_b = model(params, seed[b : b + 1], 0, qc_b)
+        l_b, _ = model(
+            params, toks[b : b + 1], int(pos[b]), qc_b
+        )
+        err = compute_error(l_b, l_vec[b : b + 1])
+        assert err > 35, (b, err)

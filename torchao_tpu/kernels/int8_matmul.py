@@ -21,7 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 from torchao_tpu.utils import cdiv
 
 
-def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
+def _kernel(l_ref, x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref,
+            *, n_k_blocks):
+    # weight-side operands carry a leading stacked-layer axis addressed
+    # by the scalar-prefetched l_ref (see int4_matmul._kernel_bint8)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -29,7 +32,7 @@ def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        x_ref[:], w_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
@@ -38,7 +41,7 @@ def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
         out_ref[:] = (
             acc_ref[:].astype(jnp.float32)
             * xs_ref[:].astype(jnp.float32)
-            * ws_ref[:].astype(jnp.float32)
+            * ws_ref[0].astype(jnp.float32)
         ).astype(out_ref.dtype)
 
 
@@ -47,25 +50,32 @@ def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k_blocks):
 )
 def int8_scaled_matmul(
     x_q: jnp.ndarray,      # [M, K] int8
-    w_q: jnp.ndarray,      # [N, K] int8
+    w_q: jnp.ndarray,      # [(L,) N, K] int8
     x_scale: jnp.ndarray,  # [M] or [M, 1]
-    w_scale: jnp.ndarray,  # [N] or [N, 1]
+    w_scale: jnp.ndarray,  # [(L,) N] (any shape of that size)
     out_dtype=jnp.bfloat16,
     *,
     bm: Optional[int] = None,
     bn: int = 1024,
     bk: int = 2048,
     interpret: bool = False,
+    layer_idx=None,
 ) -> jnp.ndarray:
     # block defaults match the int8wo kernel: fewer grid steps matter
     # more than block locality on this platform (per-step overhead
     # dominates streaming kernels — PERF.md attention finding)
-    """out = (x_q @ w_q.T) * x_scale[:, None] * w_scale[None, :]."""
+    """out = (x_q @ w_q.T) * x_scale[:, None] * w_scale[None, :].
+
+    ``layer_idx``: stacked weights, scalar-prefetch layer indexing
+    (zero-copy under ``lax.scan`` — see int4_matmul)."""
     M, K = x_q.shape
-    N, K2 = w_q.shape
+    if layer_idx is None:
+        w_q = w_q[None]
+        layer_idx = 0
+    L, N, K2 = w_q.shape
     assert K == K2, (K, K2)
     xs = x_scale.reshape(M, 1).astype(jnp.float32)
-    ws = w_scale.reshape(1, N).astype(jnp.float32)
+    ws = w_scale.reshape(L, 1, N).astype(jnp.float32)
 
     bk = min(bk, K)
     while K % bk:
@@ -77,27 +87,31 @@ def int8_scaled_matmul(
 
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     nbk = K // bk
-    grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
     kernel = functools.partial(_kernel, n_k_blocks=nbk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cdiv(M, bm), cdiv(N, bn), nbk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((1, bn, bk), lambda i, j, k, l: (l[0], j, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k, l: (i, 0)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + N * K + M * N * 2,
             transcendentals=0,
         ),
-    )(x_q, w_q, xs, ws)
+    )(lvec, x_q, w_q, xs, ws)
 
 
 def int8_scaled_matmul_reference(x_q, w_q, x_scale, w_scale,
@@ -114,7 +128,7 @@ def int8_scaled_matmul_reference(x_q, w_q, x_scale, w_scale,
     return out.astype(out_dtype)
 
 
-def int8_scaled_matmul_available(x_q, w):
+def int8_scaled_matmul_available(x_q, w, layer_idx=None):
     """Probe for the int8dq dispatch (LinearActivationQuantizedArray path).
 
     ``w`` is the inner IntxArray (int8, per-channel symmetric, PLAIN)."""
@@ -124,17 +138,19 @@ def int8_scaled_matmul_available(x_q, w):
 
     if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_INT8") == "1":
         return None
-    if not isinstance(w, IntxArray) or w.qdata.ndim != 2:
+    stacked = layer_idx is not None
+    if not isinstance(w, IntxArray) or w.qdata.ndim != (3 if stacked else 2):
         return None
-    N, K = w.qdata.shape
+    N, K = w.qdata.shape[-2:]
     if K % 128 != 0 or N % 128 != 0:
         return None
-    if w.scale.ndim not in (1, 2):
+    if w.scale.size != N * (w.qdata.shape[0] if stacked else 1):
         return None
 
     def impl(x_q_in, x_scale, w_arr, out_hp_dtype):
         x2 = x_q_in.reshape(-1, K)
-        w_scale = w_arr.scale.reshape(-1)
+        w_scale = w_arr.scale.reshape(-1, N) if stacked \
+            else w_arr.scale.reshape(-1)
         from torchao_tpu.kernels.autotune import (
             int8_matmul_candidates,
             lookup_or_tune,
@@ -146,12 +162,12 @@ def int8_scaled_matmul_available(x_q, w):
             int8_matmul_candidates(x2.shape[0], N, K),
             lambda cfg: int8_scaled_matmul(
                 x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
-                out_dtype=out_hp_dtype, **cfg,
+                out_dtype=out_hp_dtype, layer_idx=layer_idx, **cfg,
             ),
         ) or {}
         out = int8_scaled_matmul(
             x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
-            out_dtype=out_hp_dtype, **kw,
+            out_dtype=out_hp_dtype, layer_idx=layer_idx, **kw,
         )
         return out.reshape(x_q_in.shape[:-1] + (N,))
 

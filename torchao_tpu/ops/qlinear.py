@@ -127,6 +127,65 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
         if impl is not None:
             out = impl(x, w)
             return out + bias if bias is not None else out
+
+    if (
+        isinstance(w, LinearActivationQuantizedArray)
+        and isinstance(w.original_weight, IntxArray)
+        and w.original_weight.ndim == 3
+    ):
+        from torchao_tpu.kernels import int4_matmul, int8_matmul
+
+        inner: IntxArray = w.original_weight
+        # 8da4w: centered int8 acts ride the stacked int4 kernel
+        # (mirrors _impl_8da4w_centered)
+        if inner.target_dtype == "int4" and w.input_quant_name in (
+            "int8_per_token_sym", "int8_per_token_asym"
+        ):
+            impl = int4_matmul.int4_dq_matmul_available(
+                x, inner, layer_idx=layer_idx
+            )
+            if impl is not None:
+                quantized = w.quantize_input(x)
+                if len(quantized) == 3:
+                    q, scale, zp = quantized
+                    xc = (
+                        q.astype(jnp.int32)
+                        - zp.astype(jnp.int32)[..., None]
+                    ).astype(jnp.bfloat16)
+                else:
+                    q, scale = quantized
+                    xc = q.astype(jnp.bfloat16)
+                out = impl(xc, inner)
+                out = (
+                    out.astype(jnp.float32)
+                    * scale.reshape(out.shape[:-1] + (1,)).astype(
+                        jnp.float32
+                    )
+                ).astype(x.dtype)
+                return out + bias if bias is not None else out
+        if inner.target_dtype == "int8":
+            # int8dq weight_only_decode: T==1 rides the stacked int8wo
+            # mixed kernel (no bf16 weight materialization at all)
+            if (
+                w.input_quant_name.endswith("_noop_decode")
+                and x.ndim >= 2 and x.shape[-2] == 1
+            ):
+                impl = int8_matmul.int8wo_mixed_matmul_available(
+                    x, inner, layer_idx=layer_idx
+                )
+                if impl is not None:
+                    out = impl(x, inner)
+                    return out + bias if bias is not None else out
+            if w.input_quant_name in (
+                "int8_per_token_sym", "int8_per_token_sym_noop_decode"
+            ):
+                x_q, x_scale = w.quantize_input(x)
+                impl = int8_matmul.int8_scaled_matmul_available(
+                    x_q, inner, layer_idx=layer_idx
+                )
+                if impl is not None:
+                    out = impl(x_q, x_scale, inner, x.dtype)
+                    return out + bias if bias is not None else out
     return None
 
 
