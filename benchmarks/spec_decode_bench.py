@@ -1,0 +1,162 @@
+"""Speculative-decoding benchmark: measures decode tok/s with a small
+draft model vs vanilla decode on the same target model.
+
+NOTE on random weights: speculative speedup is proportional to the
+draft/target agreement rate; with random weights the draft's argmax is
+uncorrelated with the target's, so acceptance (and thus speedup) is near
+zero — real gains need a real checkpoint (zero-egress here). What this
+benchmark DOES measure honestly:
+  - the per-round mechanical overhead of the verify path (tall-skinny
+    target forward vs single-token decode),
+  - the acceptance-rate bookkeeping,
+  - tok/s at whatever acceptance the weights produce.
+Use ``--greedy-selfcheck`` to verify on-device that speculative greedy
+output matches vanilla greedy output token-for-token at full scale.
+
+Usage:
+  python benchmarks/spec_decode_bench.py [--model Llama-3-8B]
+      [--draft-layers 4] [--spec-k 4] [--new-tokens 64] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchao_tpu.models.llama.model import (
+    ModelArgs,
+    Transformer,
+    default_linear_filter,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="Llama-3-8B")
+    ap.add_argument("--draft-layers", type=int, default=4)
+    ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--greedy-selfcheck", action="store_true")
+    args = ap.parse_args()
+
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig,
+        quantize_,
+    )
+
+    if args.small:
+        margs = ModelArgs(
+            block_size=512, vocab_size=512, n_layer=4, n_head=8,
+            n_local_heads=8, dim=256, intermediate_size=512,
+        )
+        model = Transformer(margs, dtype=jnp.bfloat16)
+        params = quantize_(
+            model.init_params(jax.random.PRNGKey(0)),
+            Int4WeightOnlyConfig(group_size=32),
+            default_linear_filter,
+        )
+        name = "tiny"
+    else:
+        from bench import init_quantized_llama
+
+        margs = ModelArgs.from_name(args.model)
+        margs.block_size = min(margs.block_size, 4096)
+        model = Transformer(margs, dtype=jnp.bfloat16)
+        params = init_quantized_llama(
+            model, Int4WeightOnlyConfig(group_size=32),
+            default_linear_filter, jax.random.PRNGKey(0),
+        )
+        name = args.model
+
+    dargs = dataclasses.replace(margs)
+    dargs.n_layer = max(1, args.draft_layers)
+    draft = Transformer(dargs, dtype=jnp.bfloat16)
+    if args.small:
+        dparams = quantize_(
+            draft.init_params(jax.random.PRNGKey(1)),
+            Int4WeightOnlyConfig(group_size=32),
+            default_linear_filter,
+        )
+    else:
+        from bench import init_quantized_llama
+
+        dparams = init_quantized_llama(
+            draft, Int4WeightOnlyConfig(group_size=32),
+            default_linear_filter, jax.random.PRNGKey(1),
+        )
+
+    from torchao_tpu.models.llama.generate import generate
+    from torchao_tpu.models.llama.speculative import generate_speculative
+
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(
+            0, margs.vocab_size, (1, args.prompt_len)
+        ),
+        jnp.int32,
+    )
+    temperature = 0.0 if args.greedy_selfcheck else 0.6
+    top_k = None if args.greedy_selfcheck else 200
+
+    def run_spec():
+        t0 = time.perf_counter()
+        out, stats = generate_speculative(
+            model, params, draft, dparams, prompt, args.new_tokens,
+            spec_k=args.spec_k, temperature=temperature, top_k=top_k,
+            return_stats=True,
+        )
+        int(out[0, -1])
+        return time.perf_counter() - t0, out, stats
+
+    def run_vanilla():
+        t0 = time.perf_counter()
+        out = generate(
+            model, params, prompt, args.new_tokens,
+            temperature=temperature, top_k=top_k,
+        )
+        int(out[0, -1])
+        return time.perf_counter() - t0, out
+
+    run_spec()       # compile
+    run_vanilla()    # compile
+    t_spec, out_s, stats = run_spec()
+    t_van, out_v = run_vanilla()
+
+    if args.greedy_selfcheck:
+        match = bool(
+            (np.asarray(out_s) == np.asarray(out_v)).all()
+        )
+    else:
+        match = None
+
+    print(json.dumps({
+        "metric": "speculative_decode_tok_s",
+        "model": name,
+        "draft_layers": dargs.n_layer,
+        "spec_k": args.spec_k,
+        "new_tokens": args.new_tokens,
+        "value": round(args.new_tokens / t_spec, 2),
+        "vanilla_tok_s": round(args.new_tokens / t_van, 2),
+        "speedup": round(t_van / t_spec, 3),
+        "acceptance_rate": round(stats["acceptance_rate"], 4),
+        "rounds": stats["rounds"],
+        "greedy_exact_match": match,
+        "unit": "tok/s",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
