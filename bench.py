@@ -120,16 +120,42 @@ def measure_device_bandwidth_gbps() -> float:
 
 def weight_read_bytes_per_token(params) -> int:
     """Bytes actually streamed per decode token: all layer weights + the
-    output head (embedding contributes one row — negligible)."""
+    output head (embedding contributes one row — negligible).
+
+    Quantized arrays carrying precomputed kernel-form qparams
+    (``scale_eff``/``zero_eff``) stream ONLY those in the decode kernels;
+    the raw ``scale``/``zero_point`` leaves stay resident for the
+    prefill/fused variant but are never read per decode token — counting
+    them overstated effective bandwidth by ~20% at g=32."""
     import jax
+
+    from torchao_tpu.qtypes.base import QuantizedArray
+
+    def leaf_bytes(leaf) -> int:
+        if isinstance(leaf, QuantizedArray):
+            eff = getattr(leaf, "scale_eff", None)
+            reads = [leaf.qdata]
+            if eff is not None:
+                reads += [leaf.scale_eff, leaf.zero_eff]
+            else:
+                reads += [
+                    a for a in (leaf.scale, getattr(leaf, "zero_point", None))
+                    if a is not None
+                ]
+            return sum(a.size * a.dtype.itemsize for a in reads)
+        if hasattr(leaf, "dtype"):
+            return leaf.size * leaf.dtype.itemsize
+        return 0
 
     total = 0
     for section in ("layers", "output", "norm"):
         if section in params:
             total += sum(
-                l.size * l.dtype.itemsize
-                for l in jax.tree_util.tree_leaves(params[section])
-                if hasattr(l, "dtype")
+                leaf_bytes(l)
+                for l in jax.tree_util.tree_leaves(
+                    params[section],
+                    is_leaf=lambda x: isinstance(x, QuantizedArray),
+                )
             )
     return total
 

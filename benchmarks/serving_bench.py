@@ -44,7 +44,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--max-seq", type=int, default=256)
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--kv-quant", action="store_true", default=True)
+    ap.add_argument(
+        "--kv-quant", default="int8",
+        help="int8|int8_hmajor|int4|none (cache quantization/layout)",
+    )
     args = ap.parse_args()
 
     if args.small:
@@ -75,9 +78,10 @@ def main():
             default_linear_filter, jax.random.PRNGKey(0),
         )
 
+    kv = False if args.kv_quant in ("none", "false", "") else args.kv_quant
     eng = ServingEngine(
         model, params, max_slots=args.slots, max_seq_len=args.max_seq,
-        kv_cache_quantization=args.kv_quant,
+        kv_cache_quantization=kv,
     )
     rs = np.random.RandomState(0)
     reqs = [
@@ -108,7 +112,7 @@ def main():
         "requests": args.requests,
         "new_tokens": args.new_tokens,
         "chunk": args.chunk,
-        "kv_quant": bool(args.kv_quant),
+        "kv_quant": args.kv_quant,
         "total_tokens": total,
         "wall_s": round(dt, 2),
         "value": round(total / dt, 2),
