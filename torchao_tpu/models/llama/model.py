@@ -338,21 +338,36 @@ def _smajor_write(cache_arr, new_vals, input_pos, axis, l=None):
     scan as a carry — no per-layer slice/restack traffic)."""
     new_vals = new_vals.astype(cache_arr.dtype)
     vector = getattr(input_pos, "ndim", 0) == 1
+    if vector:
+        # single SCATTER: a vmap-of-dynamic_update_slice here lowers to
+        # full-cache copy+select (profiled 55% of serving decode — one
+        # ~206 us copy of the 67 MB stacked cache per layer-step); the
+        # scatter measures 2.2x faster and updates the scan-carried
+        # buffer in place. OOB rows are dropped — the engine's overshoot
+        # invariant only ever writes at scratch positions anyway.
+        B = new_vals.shape[0]
+        T = new_vals.shape[1] if axis == 1 else new_vals.shape[2]
+        b_idx = jnp.arange(B)[:, None]                     # [B, 1]
+        s_idx = input_pos[:, None] + jnp.arange(T)[None]   # [B, T]
+        upd = new_vals if axis == 1 else new_vals.transpose(0, 2, 1)
+        if l is None:
+            if axis == 1:
+                return cache_arr.at[b_idx, s_idx, :].set(
+                    upd, mode="drop", unique_indices=True
+                )
+            return cache_arr.at[b_idx, :, s_idx].set(
+                upd, mode="drop", unique_indices=True
+            )
+        if axis == 1:
+            return cache_arr.at[l, b_idx, s_idx, :].set(
+                upd, mode="drop", unique_indices=True
+            )
+        return cache_arr.at[l, b_idx, :, s_idx].set(
+            upd, mode="drop", unique_indices=True
+        )
     if l is None:
-        if vector:
-            def upd(c, nv, p):
-                start = (p, 0) if axis == 1 else (0, p)
-                return jax.lax.dynamic_update_slice(c, nv, start)
-            return jax.vmap(upd)(cache_arr, new_vals, input_pos)
         start = (0, input_pos, 0) if axis == 1 else (0, 0, input_pos)
         return jax.lax.dynamic_update_slice(cache_arr, new_vals, start)
-    if vector:
-        def upd(c, nv, p):  # c: [L, x, y], nv: [x', y']
-            start = (l, p, 0) if axis == 1 else (l, 0, p)
-            return jax.lax.dynamic_update_slice(c, nv[None], start)
-        return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
-            cache_arr, new_vals, input_pos
-        )
     start = (
         (l, 0, input_pos, 0) if axis == 1 else (l, 0, 0, input_pos)
     )
@@ -409,14 +424,16 @@ def _smajor_to_hmajor(layer_cache, Hkv, Dh, l=None):
 def _cache_write(cache_arr, new_vals, input_pos):
     """Write [B, H, T, *] new values into [B, H, S, *] cache at
     ``input_pos`` — a shared scalar or a per-slot [B] vector (continuous
-    batching)."""
+    batching). Vector positions use one scatter (vmap-of-DUS lowers to
+    full-cache copies — see ``_smajor_write``)."""
     new_vals = new_vals.astype(cache_arr.dtype)
     if getattr(input_pos, "ndim", 0) == 1:
-        return jax.vmap(
-            lambda c, nv, p: jax.lax.dynamic_update_slice(
-                c, nv, (0, p, 0)
-            )
-        )(cache_arr, new_vals, input_pos)
+        B, H, T = new_vals.shape[:3]
+        b_idx = jnp.arange(B)[:, None]                     # [B, 1]
+        s_idx = input_pos[:, None] + jnp.arange(T)[None]   # [B, T]
+        return cache_arr.at[b_idx, :, s_idx, :].set(
+            new_vals.swapaxes(1, 2), mode="drop", unique_indices=True
+        )
     return jax.lax.dynamic_update_slice(
         cache_arr, new_vals, (0, 0, input_pos, 0)
     )

@@ -103,15 +103,22 @@ class ServingEngine:
             return jax.vmap(one)(probs, slots, pos_vec).astype(jnp.int32)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill_slot(params, tokens, cache, slot_pos_vec):
-            """Run a chunk of prompt tokens for ALL slots. Only the target
-            slot's lane carries real tokens; other slots process dummies
-            at their current positions — their outputs are discarded and
-            the garbage their dummies write into cache slots >= their
-            current position is always overwritten by the next real
-            decode write before it can be read (sequential positions)."""
+        def prefill_slot(params, tokens, cache, slot_pos_vec, lane_idx):
+            """Run a chunk of prompt tokens for ALL slots — MIXED
+            prefill+decode batching: admitting slots' lanes carry prompt
+            chunks, active (decoding) slots' lanes carry their current
+            token at lane 0 (pads after), so every admission pass is
+            also a decode step for busy slots (emitting 1 token each)
+            instead of a stall. ``lane_idx`` [B] selects each slot's
+            next-token lane (0 for decoding slots; chunk-end for the
+            final admission pass). Pad/dummy lanes only ever write cache
+            at positions >= a slot's cursor, which the next real write
+            covers before any query can attend to it."""
             logits, cache = model(params, tokens, slot_pos_vec, cache)
-            nxt = pick(logits[:, -1], slot_pos_vec)
+            lane_logits = jnp.take_along_axis(
+                logits, lane_idx[:, None, None], axis=1
+            )[:, 0]
+            nxt = pick(lane_logits, slot_pos_vec + lane_idx)
             return nxt, cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -152,96 +159,12 @@ class ServingEngine:
         self.queue.append(req)
         return req.request_id
 
-    def _admit(self):
-        """Fill free slots from the queue by *batched* chunked prefill:
-        every admitting slot's lane carries its own prompt chunk in the
-        same pass, so K admissions cost ``ceil(max_len/chunk)+1`` passes
-        instead of K separate prefills.
-
-        Dummy-token safety (both for non-admitting slots and for lane
-        padding past a short prompt): garbage k/v is only ever written
-        at positions ≥ a slot's current write cursor; the causal mask
-        keeps those positions unread until the sequential real writes
-        (final prompt token, then decode steps) overwrite them.
-        """
-        newly: Dict[int, Tuple[Request, np.ndarray]] = {}
-        for slot in range(self.B):
-            if slot in self.active or not self.queue:
-                continue
-            req = self.queue.popleft()
-            prompt = np.asarray(req.prompt, np.int32)
-            assert len(prompt) + req.max_new_tokens <= self.S, "too long"
-            newly[slot] = (req, prompt)
-        if not newly:
-            return
-        chunk = self.prefill_chunk
-        cursors = {s: 0 for s in newly}
-
-        def remaining(s):
-            return len(newly[s][1]) - 1 - cursors[s]
-
-        # chunk passes in pow2 buckets (bounded program count)
-        while any(remaining(s) > 0 for s in newly):
-            n_max = max(min(chunk, remaining(s)) for s in newly)
-            n_max = max(n_max, 1)
-            n_pad = min(1 << (n_max - 1).bit_length(), chunk)
-            # dynamic_update_slice CLAMPS out-of-range write starts — a
-            # lane whose start + n_pad exceeds S would silently overwrite
-            # its own history. Shrink the pass so every lane's write fits.
-            starts = [
-                cursors[s] if remaining(s) > 0 else len(newly[s][1]) - 1
-                for s in newly
-            ]
-            starts += [int(self.slot_pos[s]) for s in self.active]
-            allowed = self.S - max(starts)
-            assert allowed >= 1, (self.S, starts)
-            while n_pad > allowed:
-                n_pad //= 2
-            toks = np.zeros((self.B, n_pad), np.int32)
-            pos_vec = self.slot_pos.copy()
-            for s, (_, p) in newly.items():
-                n = min(n_pad, remaining(s))
-                if n > 0:
-                    toks[s, :n] = p[cursors[s] : cursors[s] + n]
-                    pos_vec[s] = cursors[s]
-                    cursors[s] += n
-                else:  # exhausted lane idles at its next write position
-                    pos_vec[s] = len(p) - 1
-            _, self.cache = self._prefill(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.asarray(pos_vec),
-            )
-        # one exact 1-token pass over every final prompt token: each
-        # admitting lane's logits[-1] is its true next-token prediction
-        toks = np.zeros((self.B, 1), np.int32)
-        pos_vec = self.slot_pos.copy()
-        for s, (_, p) in newly.items():
-            toks[s, 0] = p[-1]
-            pos_vec[s] = len(p) - 1
-        nxt, self.cache = self._prefill(
-            self.params, jnp.asarray(toks), self.cache,
-            jnp.asarray(pos_vec),
-        )
-        nxt_np = np.asarray(nxt)
-        for s, (req, p) in newly.items():
-            self.slot_token[s] = int(nxt_np[s])
-            self.slot_pos[s] = len(p)
-            self.slot_remaining[s] = req.max_new_tokens
-            self.active[s] = req
-
-    def step(self) -> Dict[int, int]:
-        """One engine iteration: admit, one joint decode step, emit.
-        Returns {request_id: token} emitted this step."""
-        self._admit()
-        if not self.active:
-            return {}
-        tokens = jnp.asarray(self.slot_token)
-        pos_vec = jnp.asarray(self.slot_pos)
-        nxt, self.cache = self._decode(
-            self.params, tokens, self.cache, pos_vec
-        )
-        nxt_np = np.asarray(nxt)
-        emitted = {}
+    def _emit_active(self, nxt_np) -> Dict[int, int]:
+        """Emit each active slot's current token and roll in the next
+        (shared by decode steps and mixed admission passes — sampling is
+        keyed per (slot, position), so emission timing never changes the
+        token stream)."""
+        emitted: Dict[int, int] = {}
         for slot, req in list(self.active.items()):
             tok = int(self.slot_token[slot])
             # the *current* token is emitted (it was produced by the
@@ -259,14 +182,122 @@ class ServingEngine:
                 del self.active[slot]
         return emitted
 
+    def _admit(self) -> Dict[int, int]:
+        """Fill free slots from the queue by *batched* chunked prefill:
+        every admitting slot's lane carries its own prompt chunk in the
+        same pass, so K admissions cost ``ceil(max_len/chunk)+1`` passes
+        instead of K separate prefills. Active slots keep DECODING
+        through every pass (mixed prefill+decode batching): their lane
+        carries the current token at lane 0 and they emit one token per
+        pass — admission never stalls busy slots (each pass is
+        weight-bound, so the extra lanes are nearly free).
+
+        Dummy-token safety (for lane padding past a short prompt or a
+        decode lane's pad tail): garbage k/v is only ever written at
+        positions ≥ a slot's current write cursor; the causal mask keeps
+        those positions unread until the sequential real writes (final
+        prompt token, then decode steps) overwrite them.
+
+        Returns {request_id: token} emitted by active slots during
+        admission passes.
+        """
+        newly: Dict[int, Tuple[Request, np.ndarray]] = {}
+        for slot in range(self.B):
+            if slot in self.active or not self.queue:
+                continue
+            req = self.queue.popleft()
+            prompt = np.asarray(req.prompt, np.int32)
+            assert len(prompt) + req.max_new_tokens <= self.S, "too long"
+            newly[slot] = (req, prompt)
+        if not newly:
+            return {}
+        chunk = self.prefill_chunk
+        cursors = {s: 0 for s in newly}
+        emitted: Dict[int, int] = {}
+
+        def remaining(s):
+            return len(newly[s][1]) - 1 - cursors[s]
+
+        def run_pass(n_pad: int, final: bool):
+            toks = np.zeros((self.B, n_pad), np.int32)
+            pos_vec = self.slot_pos.copy()
+            lane = np.zeros(self.B, np.int32)
+            for s, (_, p) in newly.items():
+                if final:
+                    toks[s, 0] = p[-1]
+                    pos_vec[s] = len(p) - 1
+                    continue
+                n = min(n_pad, remaining(s))
+                if n > 0:
+                    toks[s, :n] = p[cursors[s] : cursors[s] + n]
+                    pos_vec[s] = cursors[s]
+                    cursors[s] += n
+                else:  # exhausted lane idles at its next write position
+                    pos_vec[s] = len(p) - 1
+            for s in self.active:  # decode lanes ride along at lane 0
+                toks[s, 0] = self.slot_token[s]
+            nxt, self.cache = self._prefill(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.asarray(pos_vec), jnp.asarray(lane),
+            )
+            return np.asarray(nxt)
+
+        # chunk passes in pow2 buckets (bounded program count)
+        while any(remaining(s) > 0 for s in newly):
+            n_max = max(min(chunk, remaining(s)) for s in newly)
+            n_max = max(n_max, 1)
+            n_pad = min(1 << (n_max - 1).bit_length(), chunk)
+            # cache write starts past S would be dropped — a lane whose
+            # start + n_pad exceeds S would lose history. Shrink the
+            # pass so every lane's write fits.
+            starts = [
+                cursors[s] if remaining(s) > 0 else len(newly[s][1]) - 1
+                for s in newly
+            ]
+            starts += [int(self.slot_pos[s]) for s in self.active]
+            allowed = self.S - max(starts)
+            assert allowed >= 1, (self.S, starts)
+            while n_pad > allowed:
+                n_pad //= 2
+            nxt_np = run_pass(n_pad, final=False)
+            emitted.update(self._emit_active(nxt_np))
+        # one exact 1-token pass over every final prompt token: each
+        # admitting lane's logits[0] is its true next-token prediction
+        nxt_np = run_pass(1, final=True)
+        emitted.update(self._emit_active(nxt_np))
+        for s, (req, p) in newly.items():
+            self.slot_token[s] = int(nxt_np[s])
+            self.slot_pos[s] = len(p)
+            self.slot_remaining[s] = req.max_new_tokens
+            self.active[s] = req
+        return emitted
+
+    def step(self) -> Dict[int, int]:
+        """One engine iteration: admit (active slots keep emitting
+        through admission passes), one joint decode step, emit.
+        Returns {request_id: token} emitted this step."""
+        emitted = dict(self._admit())
+        if not self.active:
+            return emitted
+        tokens = jnp.asarray(self.slot_token)
+        pos_vec = jnp.asarray(self.slot_pos)
+        nxt, self.cache = self._decode(
+            self.params, tokens, self.cache, pos_vec
+        )
+        for rid, tok in self._emit_active(np.asarray(nxt)).items():
+            emitted[rid] = tok
+        return emitted
+
     def step_n(self, n: int = 8) -> Dict[int, List[int]]:
         """Admit, then decode up to ``n`` tokens per slot in ONE device
         dispatch (device-side scan). Slots that hit their budget or EOS
         mid-chunk keep decoding on device; the host trims the overshoot.
         Returns {request_id: [tokens]} emitted this call."""
-        self._admit()
+        emitted: Dict[int, List[int]] = {
+            rid: [tok] for rid, tok in self._admit().items()
+        }
         if not self.active:
-            return {}
+            return emitted
         # NOT bounded by min(slot_remaining): a nearly-done slot would
         # collapse everyone's chunk to 1. Slots past their budget decode
         # overshoot garbage on device (host trims); their writes land at
@@ -278,8 +309,9 @@ class ServingEngine:
             int(self.S - 1 - max(self.slot_pos[s] for s in self.active)),
         )
         if n_eff < 1:
-            self.step()
-            return {}
+            for rid, tok in self.step().items():
+                emitted.setdefault(rid, []).append(tok)
+            return emitted
         toks, self.cache = self._decode_n(
             self.params,
             jnp.asarray(self.slot_token),
@@ -288,7 +320,6 @@ class ServingEngine:
             n_eff,
         )
         toks_np = np.asarray(toks)
-        emitted: Dict[int, List[int]] = {}
         for slot, req in list(self.active.items()):
             seq = [int(self.slot_token[slot])] + [
                 int(t) for t in toks_np[slot, : n_eff - 1]
@@ -298,7 +329,7 @@ class ServingEngine:
             take = min(len(seq), int(self.slot_remaining[slot]))
             seq = seq[:take]
             req.output.extend(seq)
-            emitted[req.request_id] = seq
+            emitted.setdefault(req.request_id, []).extend(seq)
             self.slot_pos[slot] += len(seq)
             self.slot_remaining[slot] -= len(seq)
             self.slot_token[slot] = int(toks_np[slot, len(seq) - 1])
