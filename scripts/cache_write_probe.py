@@ -102,3 +102,52 @@ if __name__ == "__main__":
     np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
     np.testing.assert_array_equal(np.asarray(o1[1]), np.asarray(o2[1]))
     print("scatter == vmap_dus results OK")
+
+
+# -- follow-up probes: which write copies, and a manual windowed scatter --
+
+def w_at_k_only(arr, new, pos, l, kind):
+    if kind == "k":
+        return w_at_scatter_hints(arr, new, pos, l, kind)
+    return arr  # skip v
+
+
+def w_at_v_only(arr, new, pos, l, kind):
+    if kind == "v":
+        return w_at_scatter_hints(arr, new, pos, l, kind)
+    return arr
+
+
+def w_manual_scatter(arr, new, pos, l, kind):
+    """K: lax.scatter with the window on HD (operand dim 2) — no
+    operand transpose, indices (l, b, pos_b) per row."""
+    if kind == "v":
+        return w_at_scatter_hints(arr, new, pos, l, kind)
+    Bn = new.shape[0]
+    lvec = jnp.full((Bn, 1), l, jnp.int32)
+    idx = jnp.concatenate(
+        [lvec, jnp.arange(Bn, dtype=jnp.int32)[:, None],
+         pos[:, None].astype(jnp.int32)], axis=1
+    )  # [B, 3] -> (l, b, s)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),          # HD window in updates
+        inserted_window_dims=(0, 1, 3),   # l, b, s are scattered dims
+        scatter_dims_to_operand_dims=(0, 1, 3),
+    )
+    return jax.lax.scatter(
+        arr, idx, new, dn,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
+if os.environ.get("PROBE_FOLLOWUP") == "1":
+    print("-- followup --", flush=True)
+    run("at_k_only", w_at_k_only)
+    run("at_v_only", w_at_v_only)
+    run("manual_scatter_k", w_manual_scatter)
+    import numpy as np
+    o1 = run("vmap_dus(chk2)", w_vmap_dus)
+    o2 = run("manual_scatter(chk2)", w_manual_scatter)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+    print("manual scatter correct")

@@ -108,3 +108,40 @@ def test_specs_cover_all_leaves(setup):
     # (model-sharded) are on the LAST axis
     s = specs["layers"]["attention"]["wqkv"].qdata.spec
     assert s == jax.sharding.PartitionSpec(None, None, "model")
+
+
+@pytest.mark.parametrize("kv", ["int8", "int4"])
+def test_tp_decode_with_sharded_quantized_cache(setup, kv):
+    """TP decode through QUANTIZED sharded caches — the smajor split-flat
+    int8 layout (k_q [L,B,Hkv*Dh,S] / v_q [L,B,S,Hkv*Dh], the serving
+    default) and the packed int4 cache; logits must match the unsharded
+    run (same quantization math on both sides)."""
+    model, params, mesh = setup
+    qparams = quantize_(
+        params, Int4WeightOnlyConfig(group_size=32),
+        filter_fn=default_linear_filter,
+    )
+    sparams = shard_params(qparams, mesh)
+    cache = model.setup_caches(2, 16, quantize=kv)
+    scache = jax.device_put(cache, kv_cache_specs(cache, mesh))
+    toks = jnp.asarray(
+        np.random.RandomState(2).randint(0, 512, (2, 8)), jnp.int32
+    )
+
+    @jax.jit
+    def prefill_and_decode(p, t, c):
+        logits, c = model(p, t, 0, c)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        logits2, c = model(p, nxt[:, None], 8, c)
+        return logits, logits2
+
+    _, l2 = prefill_and_decode(sparams, toks, scache)
+
+    c0 = model.setup_caches(2, 16, quantize=kv)
+    r1, c0 = model(qparams, toks, 0, c0)
+    nxt = jnp.argmax(r1[:, -1], axis=-1).astype(jnp.int32)
+    r2, _ = model(qparams, nxt[:, None], 8, c0)
+    np.testing.assert_allclose(
+        np.asarray(l2, np.float32), np.asarray(r2, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )

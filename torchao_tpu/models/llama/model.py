@@ -350,20 +350,45 @@ def _smajor_write(cache_arr, new_vals, input_pos, axis, l=None):
         b_idx = jnp.arange(B)[:, None]                     # [B, 1]
         s_idx = input_pos[:, None] + jnp.arange(T)[None]   # [B, T]
         upd = new_vals if axis == 1 else new_vals.transpose(0, 2, 1)
-        if l is None:
-            if axis == 1:
+        if axis == 1:
+            if l is None:
                 return cache_arr.at[b_idx, s_idx, :].set(
                     upd, mode="drop", unique_indices=True
                 )
-            return cache_arr.at[b_idx, :, s_idx].set(
-                upd, mode="drop", unique_indices=True
-            )
-        if axis == 1:
             return cache_arr.at[l, b_idx, s_idx, :].set(
                 upd, mode="drop", unique_indices=True
             )
-        return cache_arr.at[l, b_idx, :, s_idx].set(
-            upd, mode="drop", unique_indices=True
+        # axis == 2 (minor-dim column writes, e.g. D-major K): the
+        # ``.at[l, b, :, s]`` form has SEPARATED advanced indices, which
+        # lowers through an operand transpose — the scatter result then
+        # carries a non-default layout and XLA inserts a full-cache
+        # layout-fixup copy in front of the Pallas attention kernel
+        # (profiled: 260 us per 67 MB per layer-step). A manual windowed
+        # lax.scatter (window on the X dim) keeps the default layout.
+        flat_idx = (b_idx + jnp.zeros_like(s_idx)).reshape(-1)   # [B*T]
+        flat_s = s_idx.reshape(-1)                               # [B*T]
+        upd_flat = upd.reshape(B * T, upd.shape[-1])             # [B*T, X]
+        if l is None:
+            idx = jnp.stack([flat_idx, flat_s], axis=1)          # [BT, 2]
+            dn = jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,),
+                inserted_window_dims=(0, 2),
+                scatter_dims_to_operand_dims=(0, 2),
+            )
+        else:
+            lcol = jnp.full((B * T, 1), l, jnp.int32)
+            idx = jnp.concatenate(
+                [lcol, flat_idx[:, None], flat_s[:, None]], axis=1
+            )                                                    # [BT, 3]
+            dn = jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,),
+                inserted_window_dims=(0, 1, 3),
+                scatter_dims_to_operand_dims=(0, 1, 3),
+            )
+        return jax.lax.scatter(
+            cache_arr, idx, upd_flat, dn,
+            indices_are_sorted=False, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
         )
     if l is None:
         start = (0, input_pos, 0) if axis == 1 else (0, 0, input_pos)

@@ -153,17 +153,45 @@ def kv_cache_specs(
     cache: Any, mesh: Mesh, data_axis: str = "data",
     model_axis: str = "model",
 ) -> Any:
-    """Cache leaves are [L, B, Hkv, S, Dh(or 1)]: batch on data, heads on
-    model (sequence dim replicated — decode-dominant serving; SP is an
-    explicit non-goal for parity, SURVEY.md §5)."""
+    """KV-cache shardings: batch on ``data``, heads on ``model``
+    (sequence dim replicated — decode-dominant serving; SP is an
+    explicit non-goal for parity, SURVEY.md §5).
 
-    def spec_of(leaf):
-        assert leaf.ndim == 5, leaf.shape
-        return NamedSharding(
-            mesh, P(None, data_axis, model_axis, None, None)
-        )
+    Supports both layouts:
+    - head-major [L, B, Hkv, S, Dh(or 1)] (bf16 / "int8_hmajor" / int4
+      packed): heads at dim 2.
+    - split-flat smajor (the int8 default): K [L, B, Hkv·Dh, S] and
+      V [L, B, S, Hkv·Dh] shard their flat head dim; scales
+      [L, B, Hkv, S] shard dim 2. The flat Hkv·Dh dim shards cleanly on
+      ``model`` because Hkv is the outer factor of the flattening
+      (device d's shard = heads [d·Hkv/m, (d+1)·Hkv/m), matching the
+      head-sharded q/k/v projections).
+    """
 
-    return jax.tree_util.tree_map(spec_of, cache)
+    def spec_of(key_path, leaf):
+        name = ""
+        for k in key_path:
+            if hasattr(k, "key"):
+                name = str(k.key)
+        if leaf.ndim == 5:  # head-major [L, B, Hkv, S, Dh|1]
+            return NamedSharding(
+                mesh, P(None, data_axis, model_axis, None, None)
+            )
+        if leaf.ndim == 4 and name == "k_q":   # [L, B, Hkv·Dh, S]
+            return NamedSharding(
+                mesh, P(None, data_axis, model_axis, None)
+            )
+        if leaf.ndim == 4 and name == "v_q":   # [L, B, S, Hkv·Dh]
+            return NamedSharding(
+                mesh, P(None, data_axis, None, model_axis)
+            )
+        if leaf.ndim == 4:                     # scales [L, B, Hkv, S]
+            return NamedSharding(
+                mesh, P(None, data_axis, model_axis, None)
+            )
+        raise ValueError(f"unexpected cache leaf {name}: {leaf.shape}")
+
+    return jax.tree_util.tree_map_with_path(spec_of, cache)
 
 
 def shard_params(
