@@ -120,3 +120,51 @@ def test_greedy_exactness_quantized_kv():
         kv_cache_quantization=True,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_early_exit_draft_quantized():
+    """Early-exit self-draft: sliced stacked quantized weights + shared
+    embeddings/head; greedy spec output must still equal vanilla greedy
+    (exactness holds for any draft — this exercises the QuantizedArray
+    layer truncation incl. logical_shape metadata)."""
+    from torchao_tpu.models.llama.model import default_linear_filter
+    from torchao_tpu.models.llama.speculative import early_exit_draft
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig,
+        quantize_,
+    )
+
+    model, params = _tiny(n_layer=4, seed=0)
+    qparams = quantize_(
+        params, Int4WeightOnlyConfig(group_size=32),
+        filter_fn=default_linear_filter,
+    )
+    draft, dparams = early_exit_draft(model, qparams, 2)
+    assert draft.args.n_layer == 2
+    w = dparams["layers"]["feed_forward"]["w1"]
+    assert w.qdata.shape[0] == 2 and w.logical_shape[0] == 2
+
+    prompt = jnp.asarray(
+        np.random.RandomState(7).randint(0, 199, (1, 10)), jnp.int32
+    )
+    ref = generate(
+        model, qparams, prompt, 14, temperature=0.0, top_k=None
+    )
+    out = generate_speculative(
+        model, qparams, draft, dparams, prompt, 14,
+        spec_k=3, temperature=0.0, top_k=None,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_cli_speculate_smoke():
+    from torchao_tpu.models.llama import cli
+
+    res = cli.main([
+        "--model_name", "tiny-debug", "-q", "int4wo-32",
+        "--speculate", "1", "--spec_k", "2",
+        "--prompt_len", "8", "--max_new_tokens", "6",
+        "--write_result", "",
+    ])
+    assert res["tokens_per_s"] > 0
+    assert 0.0 <= res["acceptance_rate"] <= 1.0

@@ -137,6 +137,16 @@ def main(argv=None):
                    "(io.BpeTokenizer)")
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--top_k", type=int, default=200)
+    p.add_argument(
+        "--speculate", type=int, default=0, metavar="N",
+        help="speculative decoding with an early-exit self-draft built "
+        "from the target's first N layers (shared embeddings/head; no "
+        "separate draft checkpoint). Output distribution is exactly the "
+        "target's (rejection sampling); speedup tracks draft/target "
+        "agreement, so it needs real weights to pay off.",
+    )
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft tokens per speculative round")
     args = p.parse_args(argv)
 
     margs = ModelArgs.from_name(args.model_name)
@@ -217,6 +227,12 @@ def main(argv=None):
             filter_fn=lambda p, l: "tok_embeddings" in p,
         )
 
+    draft = dparams = None
+    if args.speculate:
+        from torchao_tpu.models.llama.speculative import early_exit_draft
+
+        draft, dparams = early_exit_draft(model, params, args.speculate)
+
     if args.prompt is not None:
         from torchao_tpu.io.tokenizer import BpeTokenizer, train_byte_bpe
 
@@ -226,11 +242,27 @@ def main(argv=None):
             tok = BpeTokenizer(train_byte_bpe([], 256))
         ids = tok.encode(args.prompt)
         prompt_arr = jnp.asarray(ids, jnp.int32)[None, :] % margs.vocab_size
-        out = generate(
-            model, params, prompt_arr, args.max_new_tokens,
-            temperature=args.temperature, top_k=args.top_k,
-            kv_cache_quantization=args.kv_cache_quantization,
-        )
+        if draft is not None:
+            from torchao_tpu.models.llama.speculative import (
+                generate_speculative,
+            )
+
+            out, stats = generate_speculative(
+                model, params, draft, dparams, prompt_arr,
+                args.max_new_tokens, spec_k=args.spec_k,
+                temperature=args.temperature, top_k=args.top_k,
+                kv_cache_quantization=args.kv_cache_quantization,
+                return_stats=True,
+            )
+            print(f"speculative acceptance: "
+                  f"{stats['acceptance_rate']:.1%} over "
+                  f"{stats['rounds']} rounds")
+        else:
+            out = generate(
+                model, params, prompt_arr, args.max_new_tokens,
+                temperature=args.temperature, top_k=args.top_k,
+                kv_cache_quantization=args.kv_cache_quantization,
+            )
         new_ids = [int(t) for t in out[0, prompt_arr.shape[1]:]]
         if args.tokenizer_path:
             # real vocab: model ids map to token bytes
@@ -241,6 +273,42 @@ def main(argv=None):
             print(f"{args.prompt} → {len(new_ids)} token ids: "
                   f"{new_ids[:32]}")
         return {"tokens": new_ids}
+
+    if draft is not None:
+        from torchao_tpu.models.llama.speculative import (
+            generate_speculative,
+        )
+
+        prompt_arr = jnp.zeros(
+            (args.batch_size, args.prompt_len), jnp.int32
+        )
+
+        def run_spec():
+            t0 = time.perf_counter()
+            out, stats = generate_speculative(
+                model, params, draft, dparams, prompt_arr,
+                args.max_new_tokens, spec_k=args.spec_k,
+                temperature=args.temperature, top_k=args.top_k,
+                kv_cache_quantization=args.kv_cache_quantization,
+                return_stats=True,
+            )
+            int(out[0, -1])
+            return time.perf_counter() - t0, stats
+
+        run_spec()  # compile
+        dt, stats = run_spec()
+        toks = args.max_new_tokens * args.batch_size
+        line = (
+            f"{time.strftime('%Y%m%d%H%M%S')}, tok/s={toks/dt:8.2f}, "
+            f"speculative draft={args.speculate}L k={args.spec_k}, "
+            f"acceptance={stats['acceptance_rate']:.3f}, "
+            f"quant: {args.quantization}, model: {args.model_name}"
+        )
+        print(line)
+        if args.write_result:
+            with open(args.write_result, "a") as f:
+                f.write(line + "\n")
+        return {"tokens_per_s": toks / dt, **stats}
 
     res = benchmark_decode(
         model, params,

@@ -347,6 +347,31 @@ def _smajor_write(cache_arr, new_vals, input_pos, axis, l=None):
         # invariant only ever writes at scratch positions anyway.
         B = new_vals.shape[0]
         T = new_vals.shape[1] if axis == 1 else new_vals.shape[2]
+        import os
+
+        mode = os.environ.get("TORCHAO_TPU_KV_WRITE")
+        if mode != "scatter" and (B <= 32 or mode == "unrolled"):
+            # chained per-row dynamic_update_slice — the DEFAULT for
+            # serving-sized B: XLA provably aliases chained DUS in place,
+            # while the scatter forms leave one full-stacked-cache copy
+            # per layer-step in front of the Pallas attention kernel
+            # (profiled: 260 us/67 MB; serving 352 -> 491 tok/s agg
+            # steady after this switch). B sequential tiny updates
+            # trade B-fold op count for zero copies; very large B falls
+            # back to one scatter.
+            out = cache_arr
+            for b in range(B):
+                nv = new_vals[b]  # [T, X] (axis=1) or [X, T] (axis=2)
+                if axis == 1:
+                    start = (b, input_pos[b], 0)
+                else:
+                    start = (b, 0, input_pos[b])
+                blk = nv[None]
+                if l is not None:
+                    start = (l,) + start
+                    blk = blk[None]
+                out = jax.lax.dynamic_update_slice(out, blk, start)
+            return out
         b_idx = jnp.arange(B)[:, None]                     # [B, 1]
         s_idx = input_pos[:, None] + jnp.arange(T)[None]   # [B, T]
         upd = new_vals if axis == 1 else new_vals.transpose(0, 2, 1)
@@ -454,6 +479,14 @@ def _cache_write(cache_arr, new_vals, input_pos):
     new_vals = new_vals.astype(cache_arr.dtype)
     if getattr(input_pos, "ndim", 0) == 1:
         B, H, T = new_vals.shape[:3]
+        if B <= 32:
+            # chained per-row DUS aliases in place (see _smajor_write)
+            out = cache_arr
+            for b in range(B):
+                out = jax.lax.dynamic_update_slice(
+                    out, new_vals[b][None], (b, 0, input_pos[b], 0)
+                )
+            return out
         b_idx = jnp.arange(B)[:, None]                     # [B, 1]
         s_idx = input_pos[:, None] + jnp.arange(T)[None]   # [B, T]
         return cache_arr.at[b_idx, :, s_idx, :].set(

@@ -29,6 +29,7 @@ them (queries at position p attend only to slots <= p).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Optional, Tuple
 
@@ -37,6 +38,42 @@ import jax.numpy as jnp
 
 from torchao_tpu.models.llama.generate import logits_to_probs, make_prefill
 from torchao_tpu.models.llama.model import Transformer
+from torchao_tpu.qtypes.base import QuantizedArray
+
+
+def _truncate_stacked(leaf, n: int):
+    """First ``n`` layers of a stacked-layer leaf (plain or quantized)."""
+    if isinstance(leaf, QuantizedArray):
+        new = jax.tree_util.tree_map(lambda x: x[:n], leaf)
+        ls = getattr(new, "logical_shape", None)
+        if ls is not None and len(ls) >= 3:
+            new = dataclasses.replace(
+                new, logical_shape=(n,) + tuple(ls[1:])
+            )
+        return new
+    return leaf[:n]
+
+
+def early_exit_draft(
+    model: Transformer, params: Dict[str, Any], n_layers: int
+) -> Tuple[Transformer, Dict[str, Any]]:
+    """Self-drafting draft model: the target's FIRST ``n_layers``
+    decoder layers (sliced from the stacked weights), sharing the
+    target's embeddings, final norm, and output head. With a trained
+    checkpoint this gives speculative decoding with no separate draft
+    checkpoint (early-exit drafting); the slice costs ``n/L`` of the
+    quantized weight memory."""
+    assert 1 <= n_layers < model.args.n_layer
+    dargs = dataclasses.replace(model.args)
+    dargs.n_layer = n_layers
+    draft = Transformer(dargs, dtype=model.dtype)
+    dparams = dict(params)
+    dparams["layers"] = jax.tree_util.tree_map(
+        lambda a: _truncate_stacked(a, n_layers),
+        params["layers"],
+        is_leaf=lambda x: isinstance(x, QuantizedArray),
+    )
+    return draft, dparams
 
 
 def _probs(logits, temperature, top_k):
