@@ -556,6 +556,11 @@ def _bint8_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # i/j tiles are independent; only the K axis carries the
+            # accumulator — lets Mosaic pipeline/reorder the N tiles
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=6 * M * N * K,
             bytes_accessed=Kp * N + scale.size * 4 // max(wp.shape[0], 1)
