@@ -776,15 +776,25 @@ def transformer_forward(
     freqs_full: jnp.ndarray,  # [block_size, Dh/2, 2]
     args: ModelArgs,
     mask: Optional[jnp.ndarray] = None,
+    *,
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D] (skips embed)
+    head: bool = True,        # False → return hidden states, skip norm+head
 ):
-    """Full forward. Returns (logits [B, T, V], new_cache).
+    """Full forward. Returns (logits [B, T, V], new_cache) — or
+    (hidden [B, T, D], new_cache) with ``head=False``.
 
     ``input_pos`` may be a scalar (whole batch at one position — the
     prefill/decode loop) or a [B] vector (per-slot positions — the
-    continuous-batching engine).
+    continuous-batching engine). ``inputs_embeds``/``head`` let a
+    pipeline stage run only its slice of the network
+    (``parallel/pipeline.py``).
     """
-    B, T = tokens.shape
-    x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
+    if inputs_embeds is not None:
+        x = inputs_embeds
+        B, T = x.shape[:2]
+    else:
+        B, T = tokens.shape
+        x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
 
     vector_pos = getattr(input_pos, "ndim", 0) == 1
     if vector_pos:
@@ -882,6 +892,8 @@ def transformer_forward(
         x, _ = jax.lax.scan(body2, x, layer_ids)
         new_cache = None
 
+    if not head:
+        return x, new_cache
     x = rms_norm(x, params["norm"]["weight"], args.norm_eps)
     if args.tie_word_embeddings:
         logits = ops.linear(x, params["tok_embeddings"]["weight"])
