@@ -476,3 +476,70 @@ def test_smajor_cache_vector_pos(model_and_params, monkeypatch):
         )
         err = compute_error(l_b, l_vec[b : b + 1])
         assert err > 35, (b, err)
+
+
+def test_attention_bdq_int4_matches_oracle():
+    """Packed-int4 variant of the block-diagonal-Q decode kernel: nibble
+    reconstruction via the XOR-rebias identities must match the dequant
+    oracle bit-near (the quantized values are exact integers; only the
+    f32 softmax/accumulation differs)."""
+    from torchao_tpu.kernels.quantized_attention import (
+        quantized_kv_decode_attention_bdq,
+        quantized_kv_decode_attention_reference,
+    )
+
+    rng = np.random.RandomState(44)
+    B, H, G, Dh, S = 2, 8, 4, 128, 1024
+    q = jnp.asarray(rng.randn(B, H, G, Dh), jnp.bfloat16)
+    k4 = rng.randint(-8, 8, (B, H, S, Dh))
+    v4 = rng.randint(-8, 8, (B, H, S, Dh))
+    ks = jnp.asarray(rng.rand(B, H, S, 1) * .1 + .01, jnp.bfloat16)
+    vs = jnp.asarray(rng.rand(B, H, S, 1) * .1 + .01, jnp.bfloat16)
+    pos = jnp.asarray([S - 3, 500], jnp.int32)
+
+    # pack 2-per-byte within heads along Dh (offset-binary nibbles)
+    def pack(x):
+        xo = (x + 8).astype(np.uint8)
+        return xo[..., : Dh // 2] | (xo[..., Dh // 2:] << 4)
+
+    kq_p = jnp.asarray(pack(k4))   # [B, H, S, Dh/2]
+    vq_p = jnp.asarray(pack(v4))
+    # flat split layouts: K D-major [B, H*Dh/2, S], V S-major
+    kq_dm = kq_p.transpose(0, 1, 3, 2).reshape(B, H * Dh // 2, S)
+    vq_sm = vq_p.transpose(0, 2, 1, 3).reshape(B, S, H * Dh // 2)
+
+    out = quantized_kv_decode_attention_bdq(
+        q, kq_dm, ks[..., 0], vq_sm, vs[..., 0], pos,
+        bs=256, interpret=True,
+    )
+    ref = quantized_kv_decode_attention_reference(
+        q, jnp.asarray(k4, jnp.int8), ks,
+        jnp.asarray(v4, jnp.int8), vs, pos,
+    )
+    err = compute_error(
+        jnp.asarray(ref, jnp.float32), jnp.asarray(out, jnp.float32)
+    )
+    assert err > 45, err
+
+
+def test_int4_smajor_cache_end_to_end(model_and_params):
+    """int4_smajor cache: same quantization math as the hmajor int4
+    cache, so decode logits must match the int4 hmajor path closely
+    (XLA dequant fallback on CPU exercises init/update/layout)."""
+    model, params = model_and_params
+    rs = np.random.RandomState(11)
+    toks = jnp.asarray(rs.randint(0, 512, (2, 6)), jnp.int32)
+    step = jnp.asarray(rs.randint(0, 512, (2, 1)), jnp.int32)
+
+    c1 = model.setup_caches(2, 16, quantize="int4_smajor")
+    assert c1["k_q"].dtype == jnp.uint8 and c1["k_q"].ndim == 4
+    _, c1 = model(params, toks, 0, c1)
+    l1, _ = model(params, step, 6, c1)
+
+    c2 = model.setup_caches(2, 16, quantize="int4")
+    _, c2 = model(params, toks, 0, c2)
+    l2, _ = model(params, step, 6, c2)
+    np.testing.assert_allclose(
+        np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -611,6 +611,127 @@ def _kernel_bdq(
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref_s[:], 1e-30)
 
 
+def _kernel_bdq_i4(
+    l_ref,    # scalar prefetch: [1] int32 stacked-layer index
+    pos_ref,  # scalar prefetch: [B] int32
+    qlo_ref,  # [1, H·G, H·Dh/2] bf16 — Qbd columns for each head's lo half
+    qhi_ref,  # [1, H·G, H·Dh/2] bf16 — hi half
+    kq_ref,   # [1, 1, H·Dh/2, bs] uint8 — packed int4 D-major K block
+    ks_ref,   # [1, 1, H, bs]
+    vq_ref,   # [1, 1, bs, H·Dh/2] uint8 — packed int4 S-major V block
+    vs_ref,   # [1, 1, H, bs]
+    out_ref,  # [1, H·G, Dh] f32
+    m_ref, l_ref_s, acc_ref,
+    *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
+):
+    """Packed-int4 variant of ``_kernel_bdq`` — HALF the cache bytes at
+    the same fat-block streaming shape (the long-context capacity
+    option, 2× context per HBM byte, now on the fast split-flat path).
+
+    int4 KV is packed 2-per-byte WITHIN each head along Dh (byte
+    (h, d) holds offset-binary nibbles of elements d and d + Dh/2 —
+    ``model._quantize_kv_int4``), so head-sharded TP still shards whole
+    bytes. Nibbles reach the MXU as int8 with zero float casts via the
+    weight kernel's identities (``lo = b & 0xF`` = q_lo + 8;
+    ``(b ^ 0x80) as i8 = lo + 16·(q_hi − 8)``):
+
+      scores_lo = Q_lo @ lo − 8·rowsum(Q_lo)       (offset-binary rebias)
+      scores_hi = (Q_hi @ b′ − Q_hi @ lo) / 16
+      P·V: one dot against [lo | b′], recombined per half the same way.
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref_s[:] = jnp.zeros_like(l_ref_s)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[pl.program_id(0)]
+    block_start = s * bs
+    H, G = n_heads, qlo_ref.shape[1] // n_heads
+
+    @pl.when(block_start <= pos)
+    def _():
+        qlo = qlo_ref[0]                                 # [HG, HD2]
+        qhi = qhi_ref[0]
+        kb = kq_ref[0, 0]                                # [HD2, bs] u8
+        k_lo = (kb & jnp.uint8(0xF)).astype(jnp.int8)
+        k_bp = (kb ^ jnp.uint8(0x80)).astype(jnp.int8)
+
+        q2 = jnp.concatenate([qlo, qhi], axis=0)         # [2HG, HD2]
+        dlo2 = jax.lax.dot_general(
+            q2, k_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [2HG, bs]
+        d2 = jax.lax.dot_general(
+            qhi, k_bp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [HG, bs]
+        HG = qlo.shape[0]
+        rs_lo = jnp.sum(
+            qlo.astype(jnp.float32), axis=1, keepdims=True
+        )                                                # [HG, 1]
+        raw = (
+            dlo2[:HG] - 8.0 * rs_lo
+            + (d2 - dlo2[HG:]) * 0.0625
+        )
+        kst = jnp.repeat(ks_ref[0, 0].astype(jnp.float32), G, axis=0)
+        scores = raw * kst * scale
+
+        idx = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )
+        scores = jnp.where(idx <= pos, scores, NEG_INF)
+
+        m_old = m_ref[:]
+        m_new = jnp.maximum(
+            m_old, jnp.max(scores, axis=1, keepdims=True)
+        )
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_old - m_new)
+
+        vst = jnp.repeat(vs_ref[0, 0].astype(jnp.float32), G, axis=0)
+        p2 = (p * vst).astype(jnp.bfloat16)
+        vb = vq_ref[0, 0]                                # [bs, HD2] u8
+        v_lo = (vb & jnp.uint8(0xF)).astype(jnp.int8)
+        v_bp = (vb ^ jnp.uint8(0x80)).astype(jnp.int8)
+        rhs = jnp.concatenate([v_lo, v_bp], axis=1)      # [bs, HD]
+        wide2 = jax.lax.dot_general(
+            p2, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [HG, HD]
+        HD2 = v_lo.shape[1]
+        a_part = wide2[:, :HD2]
+        b_part = wide2[:, HD2:]
+        rsp = jnp.sum(
+            p2.astype(jnp.float32), axis=1, keepdims=True
+        )                                                # [HG, 1]
+        out_lo = a_part - 8.0 * rsp                      # [HG, HD2]
+        out_hi = (b_part - a_part) * 0.0625
+        dh2 = dh // 2
+        wide = jnp.concatenate(
+            [
+                out_lo.reshape(HG, H, dh2),
+                out_hi.reshape(HG, H, dh2),
+            ],
+            axis=2,
+        )                                                # [HG, H, Dh]
+        hsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (HG, H, dh), 0) // G
+            == jax.lax.broadcasted_iota(jnp.int32, (HG, H, dh), 1)
+        )
+        pv = jnp.sum(jnp.where(hsel, wide, 0.0), axis=1)  # [HG, Dh]
+
+        m_ref[:] = m_new
+        l_ref_s[:] = l_ref_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(s == n_s_blocks - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref_s[:], 1e-30)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "bs", "interpret")
 )
@@ -644,8 +765,10 @@ def quantized_kv_decode_attention_bdq(
         )
         layer_idx = 0
     S = v_q.shape[2]
-    assert k_q.shape[1:] == (B, H * Dh, S), (k_q.shape, H, Dh, S)
-    assert v_q.shape[-1] == H * Dh, (v_q.shape, H, Dh)
+    int4 = k_q.dtype == jnp.uint8  # packed 2-per-byte within heads
+    hd = H * Dh // (2 if int4 else 1)
+    assert k_q.shape[1:] == (B, hd, S), (k_q.shape, H, Dh, S, int4)
+    assert v_q.shape[-1] == hd, (v_q.shape, H, Dh, int4)
     if scale is None:
         scale = 1.0 / math.sqrt(Dh)
     bs = min(bs, S)
@@ -660,6 +783,59 @@ def quantized_kv_decode_attention_bdq(
         B, H * G, H * Dh
     )
 
+    cache_specs = [
+        pl.BlockSpec((1, 1, hd, bs), lambda b, s, l, p: (l[0], b, 0, s)),
+        pl.BlockSpec((1, 1, H, bs), lambda b, s, l, p: (l[0], b, 0, s)),
+        pl.BlockSpec((1, 1, bs, hd), lambda b, s, l, p: (l[0], b, s, 0)),
+        pl.BlockSpec((1, 1, H, bs), lambda b, s, l, p: (l[0], b, 0, s)),
+    ]
+    scratch = [
+        pltpu.VMEM((H * G, 1), jnp.float32),
+        pltpu.VMEM((H * G, 1), jnp.float32),
+        pltpu.VMEM((H * G, Dh), jnp.float32),
+    ]
+    pos_vec = jnp.broadcast_to(
+        jnp.atleast_1d(pos).astype(jnp.int32), (B,)
+    )
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+
+    if int4:
+        # split Qbd into each head's lo / hi Dh halves (matches the
+        # within-head 2-per-byte packing)
+        q4 = qbd.reshape(B, H * G, H, 2, Dh // 2)
+        qlo = q4[:, :, :, 0, :].reshape(B, H * G, hd)
+        qhi = q4[:, :, :, 1, :].reshape(B, H * G, hd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_s),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, H * G, hd), lambda b, s, l, p: (b, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, H * G, hd), lambda b, s, l, p: (b, 0, 0)
+                ),
+            ] + cache_specs,
+            out_specs=pl.BlockSpec(
+                (1, H * G, Dh), lambda b, s, l, p: (b, 0, 0)
+            ),
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(
+            _kernel_bdq_i4, bs=bs, scale=scale, n_s_blocks=n_s,
+            n_heads=H, dh=Dh,
+        )
+        out_call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, H * G, Dh), jnp.float32),
+            interpret=interpret,
+        )
+        out = out_call(
+            lvec, pos_vec, qlo, qhi, k_q, k_scale, v_q, v_scale
+        )
+        return out.reshape(B, H, G, Dh)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_s),
@@ -667,27 +843,11 @@ def quantized_kv_decode_attention_bdq(
             pl.BlockSpec(
                 (1, H * G, H * Dh), lambda b, s, l, p: (b, 0, 0)
             ),
-            pl.BlockSpec(
-                (1, 1, H * Dh, bs), lambda b, s, l, p: (l[0], b, 0, s)
-            ),
-            pl.BlockSpec(
-                (1, 1, H, bs), lambda b, s, l, p: (l[0], b, 0, s)
-            ),
-            pl.BlockSpec(
-                (1, 1, bs, H * Dh), lambda b, s, l, p: (l[0], b, s, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, H, bs), lambda b, s, l, p: (l[0], b, 0, s)
-            ),
-        ],
+        ] + cache_specs,
         out_specs=pl.BlockSpec(
             (1, H * G, Dh), lambda b, s, l, p: (b, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.VMEM((H * G, Dh), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _kernel_bdq, bs=bs, scale=scale, n_s_blocks=n_s,
@@ -699,10 +859,6 @@ def quantized_kv_decode_attention_bdq(
         out_shape=jax.ShapeDtypeStruct((B, H * G, Dh), jnp.float32),
         interpret=interpret,
     )
-    pos_vec = jnp.broadcast_to(
-        jnp.atleast_1d(pos).astype(jnp.int32), (B,)
-    )
-    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
     out = out_call(lvec, pos_vec, qbd, k_q, k_scale, v_q, v_scale)
     return out.reshape(B, H, G, Dh)
 

@@ -269,6 +269,21 @@ def init_kv_cache(
             "k_scale": jnp.zeros((L, B, args.n_local_heads, S), dtype),
             "v_scale": jnp.zeros((L, B, args.n_local_heads, S), dtype),
         }
+    if quantize in ("int4_smajor", "int4smajor"):
+        # packed int4 on the split-flat fast path: HALF the int8 layout's
+        # bytes (2x context per HBM byte) consumed directly by the
+        # block-diagonal-Q kernel's int4 variant. Packing is 2-per-byte
+        # WITHIN each head along Dh, so head-sharded TP shards whole
+        # bytes (parallel/sharding.py kv rules apply unchanged).
+        assert args.head_dim % 2 == 0
+        HD2 = args.n_local_heads * args.head_dim // 2
+        L, B, S = args.n_layer, batch_size, max_seq_len
+        return {
+            "k_q": jnp.zeros((L, B, HD2, S), jnp.uint8),
+            "v_q": jnp.zeros((L, B, S, HD2), jnp.uint8),
+            "k_scale": jnp.zeros((L, B, args.n_local_heads, S), dtype),
+            "v_scale": jnp.zeros((L, B, args.n_local_heads, S), dtype),
+        }
     if quantize == "int4":
         assert args.head_dim % 2 == 0
         pshape = shape[:-1] + (args.head_dim // 2,)
@@ -427,15 +442,21 @@ def _smajor_write(cache_arr, new_vals, input_pos, axis, l=None):
 def _smajor_update(layer_cache, k, v, input_pos, l=None):
     """Quantize new k/v ([B, Hkv, T, Dh]) per token and write them into
     the split flat cache (K D-major, V S-major — see ``init_kv_cache``).
-    Returns the updated cache pytree (stacked in-place when ``l`` is
-    given)."""
+    A uint8 cache means packed int4 (2-per-byte within heads) — half
+    the bytes through the same write path. Returns the updated cache
+    pytree (stacked in-place when ``l`` is given)."""
     B, Hkv, T, Dh = k.shape
-    k_q, k_s = _quantize_kv(k)
-    v_q, v_s = _quantize_kv(v)
+    if layer_cache["k_q"].dtype == jnp.uint8:
+        k_q, k_s = _quantize_kv_int4(k)   # [B, Hkv, T, Dh/2] u8
+        v_q, v_s = _quantize_kv_int4(v)
+        Dh = Dh // 2
+    else:
+        k_q, k_s = _quantize_kv(k)
+        v_q, v_s = _quantize_kv(v)
 
-    # K: [B, Hkv, T, Dh] → D-major columns [B, Hkv·Dh, T]
+    # K: [B, Hkv, T, Dh'] → D-major columns [B, Hkv·Dh', T]
     k_flat = k_q.transpose(0, 1, 3, 2).reshape(B, Hkv * Dh, T)
-    # V: → S-major rows [B, T, Hkv·Dh]
+    # V: → S-major rows [B, T, Hkv·Dh']
     v_flat = v_q.transpose(0, 2, 1, 3).reshape(B, T, Hkv * Dh)
 
     return {
@@ -451,10 +472,12 @@ def _smajor_update(layer_cache, k, v, input_pos, l=None):
 
 
 def _smajor_to_hmajor(layer_cache, Hkv, Dh, l=None):
-    """View the split flat cache head-major ([B, Hkv, S, Dh] int8 +
-    [B, Hkv, S, 1] scales) — an XLA transpose (plus a layer slice when
-    stacked), used on the non-decode paths (prefill is MXU-bound, not
-    cache-streaming-bound)."""
+    """View the split flat cache head-major ([B, Hkv, S, Dh'] int8 — or
+    packed-int4 uint8 with Dh' = Dh/2 — + [B, Hkv, S, 1] scales) — an
+    XLA transpose (plus a layer slice when stacked), used on the
+    non-decode paths (prefill is MXU-bound, not cache-streaming-bound).
+    The head-major packed-int4 layout matches what
+    ``quantized_kv_decode_attention`` already consumes."""
     kq, ks, vq, vs = (
         layer_cache["k_q"], layer_cache["k_scale"],
         layer_cache["v_q"], layer_cache["v_scale"],
@@ -462,6 +485,8 @@ def _smajor_to_hmajor(layer_cache, Hkv, Dh, l=None):
     if l is not None:
         kq, ks, vq, vs = kq[l], ks[l], vq[l], vs[l]
     B, S, _ = vq.shape
+    if kq.dtype == jnp.uint8:
+        Dh = Dh // 2
 
     return (
         kq.reshape(B, Hkv, Dh, S).transpose(0, 1, 3, 2),
@@ -668,8 +693,12 @@ def _attention(
             out = _lin(out, lw["wo"], layer_idx)
             return out, new_cache
         # XLA fallback (CPU): dequantize like the reference KV cache
-        k_full = kq_h.astype(k.dtype) * ks_h.astype(k.dtype)
-        v_full = vq_h.astype(v.dtype) * vs_h.astype(v.dtype)
+        if kq_h.dtype == jnp.uint8:  # packed int4
+            k_full = _dequantize_kv_int4(kq_h, ks_h, k.dtype)
+            v_full = _dequantize_kv_int4(vq_h, vs_h, v.dtype)
+        else:
+            k_full = kq_h.astype(k.dtype) * ks_h.astype(k.dtype)
+            v_full = vq_h.astype(v.dtype) * vs_h.astype(v.dtype)
     elif layer_cache is not None:
         # quantized cache on TPU → Pallas flash kernel consuming int8 KV
         # directly (no bf16 cache materialization), for both decode (T=1)
