@@ -153,10 +153,34 @@ def main(argv=None):
     margs.block_size = min(margs.block_size, args.block_size_cap)
     model = Transformer(margs, dtype=jnp.bfloat16)
 
+    # leaf-by-leaf quantized init for random-weight runs with a plain
+    # config: init_params + quantize_ materializes the full bf16 model
+    # first (~16 GB for 8B — the whole v5e HBM; OOMs with int8-sized
+    # quantized copies). Calibration/search flows and sparsity need the
+    # hp weights and keep the two-step path.
+    lean_cfg = None
+    if (
+        not args.checkpoint_path
+        and not args.sparsity
+        and args.quantization
+        and not args.quantization.startswith(("autoquant", "int4wo-gptq"))
+    ):
+        c = config_from_recipe(args.quantization)
+        if not isinstance(c, tuple):
+            lean_cfg = c
+
     if args.checkpoint_path:
         from scripts.convert_hf_checkpoint import load_checkpoint
 
         params = load_checkpoint(args.checkpoint_path)
+    elif lean_cfg is not None:
+        from torchao_tpu.models.llama.init_utils import (
+            init_quantized_params,
+        )
+
+        params = init_quantized_params(
+            model, lean_cfg, default_linear_filter, jax.random.PRNGKey(0)
+        )
     else:
         params = model.init_params(jax.random.PRNGKey(0))
 
@@ -179,7 +203,9 @@ def main(argv=None):
             )
         params = sparsify_(params, sp_cfg, filter_fn=sp_filter)
 
-    if args.quantization and args.quantization.startswith("int4wo-gptq"):
+    if lean_cfg is not None:
+        pass  # already quantized at init
+    elif args.quantization and args.quantization.startswith("int4wo-gptq"):
         # int4wo-gptq[-<g>]: sequential GPTQ calibration (random tokens
         # unless --calib_tokens provides a .npy stream)
         from torchao_tpu.quantization.gptq_llama import gptq_quantize_llama
