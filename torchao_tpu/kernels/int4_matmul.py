@@ -92,8 +92,9 @@ def _kernel_v2(
 
 def _kernel_bint8(
     l_ref,      # scalar prefetch: [1] int32 layer index (0 if unstacked)
-    x3lo_ref,   # [bg, bm, g] bf16 — x pre-grouped: x3[gi] = x[:, gi·g:(gi+1)·g]
-    x3hi_ref,   # [bg, bm, g]
+    x3_ref,     # [2nG, bm, g] bf16 — FULL grouped x (tiny at decode M;
+                # one resident block instead of two k-indexed DMA
+                # streams; the kernel slices its lo/hi groups in VMEM)
     wp_ref,     # [1, bkp, bn] uint8 — one layer's block of [L, Kp, N]
     slo_ref,    # [1, bg, bn] f32 — lo-half group scales
     shi16_ref,  # [1, bg, bn] f32 — hi-half group scales / 16
@@ -132,14 +133,16 @@ def _kernel_bint8(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _, bkp, bn = wp_ref.shape
-    bg, bm, g = x3lo_ref.shape
+    two_ng, bm, g = x3_ref.shape
+    nG = two_ng // 2
+    bg = bkp // g
 
     w = wp_ref[0]
     lo3 = (w & jnp.uint8(0xF)).astype(jnp.int8).reshape(bg, g, bn)
     b3 = (w ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(bg, g, bn)
 
-    xlo = x3lo_ref[:]
-    xhi = x3hi_ref[:]
+    xlo = x3_ref[pl.ds(k * bg, bg)]
+    xhi = x3_ref[pl.ds(nG + k * bg, bg)]
     xcat = jnp.concatenate([xlo, xhi], axis=1)         # [bg, 2bm, g]
 
     plo = jax.lax.dot_general(
@@ -534,9 +537,8 @@ def _bint8_call(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bg, bm, g), lambda i, j, k, l: (k, i, 0)),
             pl.BlockSpec(
-                (bg, bm, g), lambda i, j, k, l: (k + nbk, i, 0)
+                (2 * nG, bm, g), lambda i, j, k, l: (0, 0, 0)
             ),
             pl.BlockSpec((1, bkp, bn), lambda i, j, k, l: (l[0], k, j)),
             pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j)),
@@ -567,7 +569,7 @@ def _bint8_call(
             + M * K * 4,
             transcendentals=0,
         ),
-    )(lvec, x3, x3, wp, s_all, s_all, z_all, z_all)
+    )(lvec, x3, wp, s_all, s_all, z_all, z_all)
     return out
 
 

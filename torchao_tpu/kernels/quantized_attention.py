@@ -710,18 +710,36 @@ def _kernel_bdq_i4(
         out_lo = a_part - 8.0 * rsp                      # [HG, HD2]
         out_hi = (b_part - a_part) * 0.0625
         dh2 = dh // 2
-        wide = jnp.concatenate(
-            [
-                out_lo.reshape(HG, H, dh2),
-                out_hi.reshape(HG, H, dh2),
-            ],
-            axis=2,
-        )                                                # [HG, H, Dh]
-        hsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (HG, H, dh), 0) // G
-            == jax.lax.broadcasted_iota(jnp.int32, (HG, H, dh), 1)
+        HG = out_lo.shape[0]
+        HD2 = out_lo.shape[1]
+        # band-select + per-half column placement WITHOUT any sub-128
+        # minor reshape (Mosaic rejects [HG, HD2] → [HG, H, dh/2]):
+        # zero every h' != row's head arithmetically (no i1 vectors —
+        # Mosaic "invalid relayout", CLAUDE.md), then one tiny constant
+        # matmul per half scatters compact columns (h·dh2 + d) to their
+        # head-contiguous positions d / d + dh2 of [HG, Dh].
+        db = (
+            jax.lax.broadcasted_iota(jnp.int32, (HG, HD2), 1) // dh2
+            - jax.lax.broadcasted_iota(jnp.int32, (HG, HD2), 0) // G
         )
-        pv = jnp.sum(jnp.where(hsel, wide, 0.0), axis=1)  # [HG, Dh]
+        band = (1 - jnp.minimum(db * db, 1)).astype(jnp.float32)
+        c_mod = jax.lax.broadcasted_iota(jnp.int32, (HD2, dh), 0) % dh2
+        d_col = jax.lax.broadcasted_iota(jnp.int32, (HD2, dh), 1)
+        d_lo = c_mod - d_col
+        s_lo = (
+            (1 - jnp.minimum(d_lo * d_lo, 1)) * (1 - d_col // dh2)
+        ).astype(jnp.float32)
+        d_hi = c_mod - (d_col - dh2)
+        s_hi = (
+            (1 - jnp.minimum(d_hi * d_hi, 1)) * (d_col // dh2)
+        ).astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            out_lo * band, s_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            out_hi * band, s_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [HG, Dh]
 
         m_ref[:] = m_new
         l_ref_s[:] = l_ref_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
