@@ -15,7 +15,13 @@ EXACTLY the target model's:
 
 Greedy (``temperature=0``) degenerates to: accept while the draft token
 equals the target argmax — so greedy speculative output is bit-identical
-to greedy vanilla decode (tested).
+to greedy vanilla decode under identical arithmetic (tested exactly on
+CPU f32). CAVEAT measured on TPU bf16: the tall-skinny verify forward
+(T = k+1) may tile/accumulate matmuls differently from the T = 1 decode
+step, so bf16 logit near-ties can resolve differently and greedy streams
+can diverge at tie positions — the same determinism property as any
+chunked/batched prefill, not a property of the rejection rule (the
+SAMPLED distribution is exactly the target's regardless).
 
 TPU-native design: the whole loop is ONE jitted ``lax.while_loop`` —
 draft scan, verify forward, acceptance math, and cache writes all stay
@@ -86,7 +92,29 @@ def _probs(logits, temperature, top_k):
     )
 
 
+_SPEC_PROGRAM_CACHE: Dict[Tuple, Any] = {}
+
+
 def make_speculative_decode(
+    model: Transformer,
+    draft_model: Transformer,
+    num_tokens: int,
+    spec_k: int = 4,
+):
+    """Cached per (model, draft, num_tokens, spec_k): each call would
+    otherwise build a fresh closure → a fresh jit → a recompile (or a
+    compile-cache round trip) on every ``generate_speculative``."""
+    key = (id(model), id(draft_model), num_tokens, spec_k)
+    fn = _SPEC_PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _make_speculative_decode(
+            model, draft_model, num_tokens, spec_k
+        )
+        _SPEC_PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def _make_speculative_decode(
     model: Transformer,
     draft_model: Transformer,
     num_tokens: int,

@@ -216,33 +216,14 @@ class ServingEngine:
         emitted: Dict[int, int] = {}
 
         def remaining(s):
-            return len(newly[s][1]) - 1 - cursors[s]
+            return len(newly[s][1]) - cursors[s]
 
-        def run_pass(n_pad: int, final: bool):
-            toks = np.zeros((self.B, n_pad), np.int32)
-            pos_vec = self.slot_pos.copy()
-            lane = np.zeros(self.B, np.int32)
-            for s, (_, p) in newly.items():
-                if final:
-                    toks[s, 0] = p[-1]
-                    pos_vec[s] = len(p) - 1
-                    continue
-                n = min(n_pad, remaining(s))
-                if n > 0:
-                    toks[s, :n] = p[cursors[s] : cursors[s] + n]
-                    pos_vec[s] = cursors[s]
-                    cursors[s] += n
-                else:  # exhausted lane idles at its next write position
-                    pos_vec[s] = len(p) - 1
-            for s in self.active:  # decode lanes ride along at lane 0
-                toks[s, 0] = self.slot_token[s]
-            nxt, self.cache = self._prefill(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.asarray(pos_vec), jnp.asarray(lane),
-            )
-            return np.asarray(nxt)
-
-        # chunk passes in pow2 buckets (bounded program count)
+        # chunk passes in pow2 buckets (bounded program count). The
+        # chunk containing a prompt's FINAL token also produces that
+        # slot's first sampled token (lane_idx selects the lane) — no
+        # separate 1-token finishing pass (saves one full model pass
+        # per admission round; keyed sampling at the same (slot, pos)
+        # keeps the token stream identical).
         while any(remaining(s) > 0 for s in newly):
             n_max = max(min(chunk, remaining(s)) for s in newly)
             n_max = max(n_max, 1)
@@ -251,25 +232,47 @@ class ServingEngine:
             # start + n_pad exceeds S would lose history. Shrink the
             # pass so every lane's write fits.
             starts = [
-                cursors[s] if remaining(s) > 0 else len(newly[s][1]) - 1
-                for s in newly
+                min(cursors[s], len(newly[s][1]) - 1) for s in newly
             ]
             starts += [int(self.slot_pos[s]) for s in self.active]
             allowed = self.S - max(starts)
             assert allowed >= 1, (self.S, starts)
             while n_pad > allowed:
                 n_pad //= 2
-            nxt_np = run_pass(n_pad, final=False)
+
+            toks = np.zeros((self.B, n_pad), np.int32)
+            pos_vec = self.slot_pos.copy()
+            lane = np.zeros(self.B, np.int32)
+            finishing = []
+            for s, (_, p) in newly.items():
+                if s in self.active:
+                    # admitted in an earlier pass of this round: it is
+                    # a decode ride-along lane now (handled below)
+                    continue
+                n = min(n_pad, remaining(s))
+                if n > 0:
+                    toks[s, :n] = p[cursors[s] : cursors[s] + n]
+                    pos_vec[s] = cursors[s]
+                    cursors[s] += n
+                    if remaining(s) == 0:  # last prompt token in chunk
+                        lane[s] = n - 1
+                        finishing.append(s)
+                else:  # exhausted lane idles at its last position
+                    pos_vec[s] = len(p) - 1
+            for s in self.active:  # decode lanes ride along at lane 0
+                toks[s, 0] = self.slot_token[s]
+            nxt, self.cache = self._prefill(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.asarray(pos_vec), jnp.asarray(lane),
+            )
+            nxt_np = np.asarray(nxt)
             emitted.update(self._emit_active(nxt_np))
-        # one exact 1-token pass over every final prompt token: each
-        # admitting lane's logits[0] is its true next-token prediction
-        nxt_np = run_pass(1, final=True)
-        emitted.update(self._emit_active(nxt_np))
-        for s, (req, p) in newly.items():
-            self.slot_token[s] = int(nxt_np[s])
-            self.slot_pos[s] = len(p)
-            self.slot_remaining[s] = req.max_new_tokens
-            self.active[s] = req
+            for s in finishing:
+                req, p = newly[s]
+                self.slot_token[s] = int(nxt_np[s])
+                self.slot_pos[s] = len(p)
+                self.slot_remaining[s] = req.max_new_tokens
+                self.active[s] = req
         return emitted
 
     def step(self) -> Dict[int, int]:
