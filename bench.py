@@ -63,7 +63,7 @@ def weight_read_bytes_per_token(params) -> int:
     output head (embedding contributes one row — negligible).
 
     Quantized arrays carrying precomputed kernel-form qparams
-    (``scale_eff``/``zero_eff``) stream ONLY those in the decode kernels;
+    (``qparams_eff``) stream ONLY those in the decode kernels;
     the raw ``scale``/``zero_point`` leaves stay resident for the
     prefill/fused variant but are never read per decode token — counting
     them overstated effective bandwidth by ~20% at g=32."""
@@ -73,10 +73,10 @@ def weight_read_bytes_per_token(params) -> int:
 
     def leaf_bytes(leaf) -> int:
         if isinstance(leaf, QuantizedArray):
-            eff = getattr(leaf, "scale_eff", None)
+            eff = getattr(leaf, "qparams_eff", None)
             reads = [leaf.qdata]
             if eff is not None:
-                reads += [leaf.scale_eff, leaf.zero_eff]
+                reads += [eff]
             else:
                 reads += [
                     a for a in (leaf.scale, getattr(leaf, "zero_point", None))

@@ -477,9 +477,9 @@ def test_int4_batched_int8_variant_matches():
 
 
 def test_int4_scale_eff_precompute_matches_derived():
-    """from_hp populates scale_eff/zero_eff on TILED weights and the
-    kernel produces identical results whether qparams are precomputed
-    or derived per call."""
+    """from_hp populates the interleaved qparams_eff on TILED weights
+    and the kernel produces identical results whether qparams are
+    precomputed or derived per call."""
     from torchao_tpu.kernels.int4_matmul import int4_dq_matmul
     from torchao_tpu.quantization.quant_api import (
         Int4WeightOnlyConfig, quantize_,
@@ -489,13 +489,16 @@ def test_int4_scale_eff_precompute_matches_derived():
     N, K, g = 256, 1024, 32
     w = jnp.asarray(rng.randn(N, K), jnp.bfloat16)
     qw = quantize_({"w": w}, Int4WeightOnlyConfig(group_size=g))["w"]
-    assert qw.scale_eff is not None and qw.zero_eff is not None
-    assert qw.scale_eff.shape == qw.scale.shape
-    # hi-half rows are exactly scale/16 (power of two, exact in bf16)
+    assert qw.qparams_eff is not None
     nG = qw.scale.shape[0] // 2
+    assert qw.qparams_eff.shape == (4 * nG, N)
+    qe = np.asarray(qw.qparams_eff, np.float32)
+    # family blocks: s_lo rows then s_hi/16 (÷16 exact in bf16)
     np.testing.assert_array_equal(
-        np.asarray(qw.scale_eff[nG:], np.float32),
-        np.asarray(qw.scale[nG:], np.float32) / 16.0,
+        qe[:nG], np.asarray(qw.scale[:nG], np.float32)
+    )
+    np.testing.assert_array_equal(
+        qe[nG:2 * nG], np.asarray(qw.scale[nG:], np.float32) / 16.0,
     )
 
     x = jnp.asarray(rng.randn(4, K), jnp.bfloat16)
@@ -505,7 +508,7 @@ def test_int4_scale_eff_precompute_matches_derived():
     )
     out_pre = int4_dq_matmul(
         x, qw.qdata, qw.scale, qw.zero_point,
-        qw.scale_eff, qw.zero_eff,
+        qw.qparams_eff,
         group_size=g, variant="batched_int8", interpret=True,
     )
     np.testing.assert_allclose(
@@ -529,7 +532,7 @@ def test_int4_kernel_accepts_hqq_int_domain():
     qw = quantize_(
         {"w": w}, Int4WeightOnlyConfig(group_size=32, use_hqq=True)
     )["w"]
-    assert qw.zero_eff is not None
+    assert qw.qparams_eff is not None
     assert int4_dq_matmul_available(None, qw) is not None
 
     x = jnp.asarray(rng.randn(2, 1024), jnp.float32)

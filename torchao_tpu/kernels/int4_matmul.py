@@ -96,10 +96,10 @@ def _kernel_bint8(
                 # one resident block instead of two k-indexed DMA
                 # streams; the kernel slices its lo/hi groups in VMEM)
     wp_ref,     # [1, bkp, bn] uint8 — one layer's block of [L, Kp, N]
-    slo_ref,    # [1, bg, bn] f32 — lo-half group scales
-    shi16_ref,  # [1, bg, bn] f32 — hi-half group scales / 16
-    z2lo_ref,   # [1, bg, bn] bf16 — z − mid·s (lo)
-    z2hi_ref,   # [1, bg, bn] bf16 — z + (8 − mid)·s (hi)
+    slo_ref,    # [1, bg, bn] bf16 — s_lo family block (one qparams_eff
+    shi16_ref,  # [1, bg, bn] bf16 — s_hi/16      array, four family-
+    z2lo_ref,   # [1, bg, bn] bf16 — z − mid·s    offset index maps —
+    z2hi_ref,   # [1, bg, bn] bf16 — z+(8−mid)·s  see _bint8_call)
     out_ref, acc_ref, *, n_k_blocks: int,
 ):
     """Batched-int8 variant: zero float casts on the weight path.
@@ -153,8 +153,6 @@ def _kernel_bint8(
         xhi, b3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                   # [bg, bm, bn]
-    # scale refs may be f32 (derived per call) or bf16 (precomputed
-    # ``scale_eff`` leaves); cast-in-VMEM is per scale element, cheap
     contrib = (
         plo[:, :bm, :] * slo_ref[0].astype(jnp.float32)[:, None, :]
         + (pb - plo[:, bm:, :])
@@ -349,8 +347,8 @@ def int4_dq_matmul(
     wp: jnp.ndarray,       # [K/2, N] uint8, K-major half-split nibbles
     scale: jnp.ndarray,    # [K/g, N]
     zero: jnp.ndarray,     # [K/g, N] (FLOAT zero-point domain)
-    scale_eff: Optional[jnp.ndarray] = None,  # [K/g, N] bf16, hi rows ÷16
-    zero_eff: Optional[jnp.ndarray] = None,   # [K/g, N] bf16, pre-biased
+    qparams_eff: Optional[jnp.ndarray] = None,  # [4·K/(2g), N] bf16 —
+    #   interleaved kernel-form qparams (qtypes.intx._tiled_eff_qparams)
     *,
     group_size: int,
     mid: float = 8.0,
@@ -429,7 +427,7 @@ def int4_dq_matmul(
 
     if variant == "batched_int8" and M <= 16:
         return _bint8_call(
-            x, wp, scale, zero, scale_eff, zero_eff,
+            x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret, layer_idx=layer_idx,
         )
@@ -438,13 +436,12 @@ def int4_dq_matmul(
         wp = wp[layer_idx]
         scale = scale[layer_idx]
         zero = zero[layer_idx] if zero is not None else None
-        scale_eff = (
-            scale_eff[layer_idx] if scale_eff is not None else None
+        qparams_eff = (
+            qparams_eff[layer_idx] if qparams_eff is not None else None
         )
-        zero_eff = zero_eff[layer_idx] if zero_eff is not None else None
     if variant == "banded" and M <= 16:
         return _banded_call(
-            x, wp, scale, zero, scale_eff, zero_eff,
+            x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret,
         )
@@ -485,13 +482,13 @@ def int4_dq_matmul(
 
 
 def _bint8_call(
-    x, wp, scale, zero, scale_eff=None, zero_eff=None,
+    x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``).
 
     ``layer_idx`` (traced int32 scalar) selects one layer of STACKED
-    weight-side operands (``wp`` [L, Kp, N], scales [L, ·, N]) via
+    weight-side operands (``wp`` [L, Kp, N], qparams [L, 4·nG, N]) via
     scalar-prefetch index maps — no per-layer slice materialization
     inside ``lax.scan``. Unstacked operands are viewed as L = 1."""
     M, K = x.shape
@@ -499,8 +496,9 @@ def _bint8_call(
         wp = wp[None]
         scale = scale[None]
         zero = zero[None] if zero is not None else None
-        scale_eff = scale_eff[None] if scale_eff is not None else None
-        zero_eff = zero_eff[None] if zero_eff is not None else None
+        qparams_eff = (
+            qparams_eff[None] if qparams_eff is not None else None
+        )
         layer_idx = 0
     _, Kp, N = wp.shape
     g = group_size
@@ -513,22 +511,26 @@ def _bint8_call(
     assert bm == M and M <= 16, (M, bm)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
-    if scale_eff is not None and zero_eff is not None:
-        # precomputed at quantize time (qtypes/intx.py
-        # ``_tiled_eff_qparams``); lo/hi halves are addressed by the
-        # BlockSpec index maps (k vs k + nbk) — no XLA slicing here
-        s_all, z_all = scale_eff, zero_eff
-        s_off = z_off = nbk
-    else:
-        s_lo = scale[:, :nG].astype(jnp.float32)
-        s_hi = scale[:, nG:].astype(jnp.float32)
-        z_lo = zero[:, :nG].astype(jnp.float32)
-        z_hi = zero[:, nG:].astype(jnp.float32)
-        z2lo = (z_lo - mid * s_lo).astype(jnp.bfloat16)
-        z2hi = (z_hi + (8.0 - mid) * s_hi).astype(jnp.bfloat16)
-        s_all = jnp.concatenate([s_lo, s_hi / 16.0], axis=1)
-        z_all = jnp.concatenate([z2lo, z2hi], axis=1)
-        s_off = z_off = nbk
+    if qparams_eff is None:
+        # derive the interleaved kernel-form qparams per call (tests /
+        # direct callers; quantize_ precomputes them as a weight leaf —
+        # same row layout as qtypes.intx._tiled_eff_qparams)
+        s = scale.astype(jnp.float32)
+        z = (
+            jnp.zeros_like(s) if zero is None
+            else zero.astype(jnp.float32)
+        )
+        s_lo, s_hi = s[..., :nG, :], s[..., nG:, :]
+        z_lo, z_hi = z[..., :nG, :], z[..., nG:, :]
+        qparams_eff = jnp.concatenate(
+            [
+                s_lo,
+                s_hi / 16.0,
+                z_lo - mid * s_lo,
+                z_hi + (8.0 - mid) * s_hi,
+            ],
+            axis=-2,
+        ).astype(jnp.bfloat16)
 
     lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
@@ -543,11 +545,13 @@ def _bint8_call(
             pl.BlockSpec((1, bkp, bn), lambda i, j, k, l: (l[0], k, j)),
             pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j)),
             pl.BlockSpec(
-                (1, bg, bn), lambda i, j, k, l: (l[0], k + s_off, j)
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + nbk, j)
             ),
-            pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j)),
             pl.BlockSpec(
-                (1, bg, bn), lambda i, j, k, l: (l[0], k + z_off, j)
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + 2 * nbk, j)
+            ),
+            pl.BlockSpec(
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + 3 * nbk, j)
             ),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
@@ -569,12 +573,15 @@ def _bint8_call(
             + M * K * 4,
             transcendentals=0,
         ),
-    )(lvec, x3, wp, s_all, s_all, z_all, z_all)
+    )(
+        lvec, x3, wp,
+        qparams_eff, qparams_eff, qparams_eff, qparams_eff,
+    )
     return out
 
 
 def _banded_call(
-    x, wp, scale, zero, scale_eff=None, zero_eff=None,
+    x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret,
 ):
     """Launch the banded fat-dot variant (see ``_kernel_banded``)."""
@@ -587,11 +594,11 @@ def _banded_call(
 
     assert bm == M and M <= 16, (M, bm)
 
-    if scale_eff is not None and zero_eff is not None:
-        s_lo = scale_eff[:nG]
-        shi16 = scale_eff[nG:]
-        z2lo = zero_eff[:nG]
-        z2hi = zero_eff[nG:]
+    if qparams_eff is not None:
+        s_lo, shi16, z2lo, z2hi = (
+            qparams_eff[:nG], qparams_eff[nG:2 * nG],
+            qparams_eff[2 * nG:3 * nG], qparams_eff[3 * nG:],
+        )
     else:
         s_lo = scale[:nG].astype(jnp.float32)
         s_hi = scale[nG:].astype(jnp.float32)
@@ -672,10 +679,10 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
     int_domain = (
         not symmetric and w.zero_point_domain is ZeroPointDomain.INT
     )
-    if int_domain and w.zero_eff is None:
+    if int_domain and w.qparams_eff is None:
         # INT zero domain (HQQ/gemlite int4) rides the same kernels via
         # the float-equivalent zero z = (mid − zp)·s — precomputed as
-        # zero_eff at quantize time; without it, fall back to XLA
+        # qparams_eff at quantize time; without it, fall back to XLA
         return None
     if (
         not symmetric
@@ -729,7 +736,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             int4_matmul_candidates(xb.shape[0], N, K, group_size),
             lambda cfg: int4_dq_matmul(
                 xb, w.qdata, w.scale, zero,
-                w.scale_eff, w.zero_eff,
+                w.qparams_eff,
                 group_size=group_size, mid=mid,
                 layer_idx=layer_idx, **cfg,
             ),
@@ -738,7 +745,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             kw = {**tuned, **kw}  # env variant override wins
         out = int4_dq_matmul(
             xb, w.qdata, w.scale, zero,
-            w.scale_eff, w.zero_eff,
+            w.qparams_eff,
             group_size=group_size, mid=mid, layer_idx=layer_idx, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))

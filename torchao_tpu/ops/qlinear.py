@@ -295,10 +295,10 @@ def _check_int4_weight_only(x, w, bias):
         and (
             w.zero_point_domain is ZeroPointDomain.FLOAT
             # INT-domain int4 (HQQ / gemlite) rides the same kernel via
-            # the precomputed float-equivalent zero (zero_eff)
+            # the precomputed float-equivalent zero (in qparams_eff)
             or (
                 w.zero_point_domain is ZeroPointDomain.INT
-                and getattr(w, "zero_eff", None) is not None
+                and getattr(w, "qparams_eff", None) is not None
             )
         )
     )

@@ -44,10 +44,20 @@ def _tiled_eff_qparams(
     """Kernel-form qparams for K-major TILED_NIBBLES scale/zero
     ([.., K/g, N], lo-half rows then hi-half rows): the batched-int8
     kernel consumes ``dq_lo = lo·s + (z − mid·s)`` and
-    ``dq_hi = hi_s·(s/16·16)... = (b′−lo)/16·s + (z + (8 − mid)·s)``, so
-    precompute (per half)  scale_eff = [s_lo, s_hi/16]  and
-    zero_eff = [z − mid·s, z + (8 − mid)·s]  once at quantize time
-    instead of per call inside the decode scan.
+    ``dq_hi = (b′ − lo)/16·s + (z + (8 − mid)·s)``, so precompute the
+    four per-group row families once at quantize time instead of per
+    call inside the decode scan:
+
+      rows [0,      nG):  s_lo            (lo-half group scales)
+      rows [nG,   2·nG):  s_hi / 16       (hi-half scales, ÷16 folded)
+      rows [2·nG, 3·nG):  z_lo − mid·s_lo (pre-biased lo zeros)
+      rows [3·nG, 4·nG):  z_hi + (8−mid)·s_hi
+
+    FAMILY-MAJOR in ONE ``[.., 4·K/g, N]`` bf16 array: a single weight
+    leaf (simpler accounting/slicing/sharding) that the kernel reads as
+    four index-mapped block streams at offsets f·nbk. (A per-group
+    interleave was measured 17% SLOWER end-to-end: family slices become
+    stride-4 sublane gathers in VMEM.)
 
     INT zero-point domain (HQQ/gemlite int4: ``dq = (q − zp)·s``) maps
     onto the same form via the float-equivalent zero
@@ -56,7 +66,7 @@ def _tiled_eff_qparams(
     nG2 = scale.shape[-2]
     nG = nG2 // 2
     if nG == 0 or nG2 % 2:
-        return None, None
+        return None
     s = scale.astype(jnp.float32)
     if zero_point is None:
         z = jnp.zeros_like(s)
@@ -64,23 +74,17 @@ def _tiled_eff_qparams(
         z = (mid - zero_point.astype(jnp.float32)) * s
     else:
         z = zero_point.astype(jnp.float32)
-    half_factor = jnp.concatenate(
+    s_lo, s_hi = s[..., :nG, :], s[..., nG:, :]
+    z_lo, z_hi = z[..., :nG, :], z[..., nG:, :]
+    return jnp.concatenate(
         [
-            jnp.ones((nG, 1), jnp.float32),
-            jnp.full((nG, 1), 1.0 / 16.0, jnp.float32),
+            s_lo,
+            s_hi / 16.0,
+            z_lo - mid * s_lo,
+            z_hi + (8.0 - mid) * s_hi,
         ],
-        axis=0,
-    )
-    bias = jnp.concatenate(
-        [
-            jnp.full((nG, 1), -mid, jnp.float32),
-            jnp.full((nG, 1), 8.0 - mid, jnp.float32),
-        ],
-        axis=0,
-    )
-    scale_eff = (s * half_factor).astype(jnp.bfloat16)
-    zero_eff = (z + bias * s).astype(jnp.bfloat16)
-    return scale_eff, zero_eff
+        axis=-2,
+    ).astype(jnp.bfloat16)  # [.., 4·nG, N]
 
 
 def _nbits_of(target_dtype: str) -> int:
@@ -106,12 +110,10 @@ class IntxArray(QuantizedArray):
     # batched-int8 Pallas kernel consumes scale/zero in a derived form
     # (hi-half scales ÷16; zeros pre-biased per half). Deriving them
     # per call inside the decode scan costs ~2 GB/token of HBM traffic
-    # at 8B; from_hp precomputes them once instead.
-    #   scale_eff: [.., K/g, N] bf16 — scale with hi-half rows ÷ 16
-    #   zero_eff:  [.., K/g, N] bf16 — lo rows z − mid·s; hi rows
-    #              z + (8 − mid)·s
-    scale_eff: Optional[jnp.ndarray] = None
-    zero_eff: Optional[jnp.ndarray] = None
+    # at 8B; from_hp precomputes them once as ONE family-major
+    # [.., 4·K/g, N] bf16 leaf (s_lo | s_hi/16 | z2_lo | z2_hi row
+    # blocks — see _tiled_eff_qparams).
+    qparams_eff: Optional[jnp.ndarray] = None
 
     # --- pytree-facing ----------------------------------------------------
     @property
@@ -215,12 +217,12 @@ class IntxArray(QuantizedArray):
                 while zero_point.ndim < w.ndim:
                     zero_point = zero_point[..., None]
                 zero_point = jnp.swapaxes(zero_point, -1, -2)
-            scale_eff, zero_eff = _tiled_eff_qparams(
+            qparams_eff = _tiled_eff_qparams(
                 scale, zero_point, quant_min, quant_max,
                 zero_point_domain,
             )
         else:
-            scale_eff = zero_eff = None
+            qparams_eff = None
 
         if packing_format is PackingFormat.BIT_SHARDS:
             from torchao_tpu.qtypes.packing import pack_uintx
@@ -246,8 +248,7 @@ class IntxArray(QuantizedArray):
             packing_format=packing_format,
             logical_shape=logical_shape,
             activation_dtype=str(jnp.dtype(w.dtype)),
-            scale_eff=scale_eff,
-            zero_eff=zero_eff,
+            qparams_eff=qparams_eff,
         )
 
     # --- slicing (TP / serving weight loading) -----------------------------
@@ -268,7 +269,7 @@ class IntxArray(QuantizedArray):
             )
             extra = {
                 name: getattr(self, name)[..., start : start + size]
-                for name in ("scale_eff", "zero_eff")
+                for name in ("qparams_eff",)
                 if getattr(self, name) is not None
             }
             ls = list(self.shape)

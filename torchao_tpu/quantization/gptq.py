@@ -168,7 +168,7 @@ def gptq_quantize_int4(
     )
     scale_t = jnp.swapaxes(scales.astype(scale_dtype), -1, -2)
     zero_t = jnp.swapaxes(zeros.astype(scale_dtype), -1, -2)
-    se, ze = _tiled_eff_qparams(
+    qe = _tiled_eff_qparams(
         scale_t, zero_t, 0, 15, ZeroPointDomain.FLOAT
     )
     return IntxArray(
@@ -183,6 +183,5 @@ def gptq_quantize_int4(
         packing_format=PackingFormat.TILED_NIBBLES,
         logical_shape=tuple(W.shape),
         activation_dtype=str(jnp.dtype(W.dtype)),
-        scale_eff=se,
-        zero_eff=ze,
+        qparams_eff=qe,
     )

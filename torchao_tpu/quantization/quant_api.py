@@ -314,7 +314,7 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
 
         scale_t = jnp.swapaxes(scale.astype(w.dtype), -1, -2)
         zero_t = jnp.swapaxes(zero.astype(w.dtype), -1, -2)
-        se, ze = _tiled_eff_qparams(
+        qe = _tiled_eff_qparams(
             scale_t, zero_t, 0, 15, ZeroPointDomain.INT
         )
         return _I(
@@ -329,8 +329,7 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
             packing_format=PackingFormat.TILED_NIBBLES,
             logical_shape=tuple(w.shape),
             activation_dtype=str(jnp.dtype(w.dtype)),
-            scale_eff=se,
-            zero_eff=ze,
+            qparams_eff=qe,
         )
     return IntxArray.from_hp(
         w,
