@@ -88,3 +88,42 @@ def test_pp_with_quantized_kv_cache():
     np.testing.assert_allclose(
         np.asarray(lg), np.asarray(ref, np.float32), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("num_microbatches", [2, 4])
+def test_pp_microbatch_matches_single_device(num_microbatches):
+    """GPipe microbatch schedule: logits + cache identical to the
+    unsharded model for prefill and decode (B=4 split into M mbs)."""
+    from torchao_tpu.parallel.pipeline import make_pp_microbatch_forward
+
+    model, params = _model(n_layer=4)
+    mesh = make_mesh({"pipe": 4})
+    sparams = jax.device_put(params, pp_param_specs(params, mesh))
+    B = 4
+    cache = model.setup_caches(B, 32)
+    scache = jax.device_put(cache, pp_cache_specs(cache, mesh))
+
+    toks = jnp.asarray(
+        np.random.RandomState(3).randint(0, 256, (B, 8)), jnp.int32
+    )
+    pp = make_pp_microbatch_forward(model, mesh, num_microbatches)
+    lg, scache = pp(sparams, toks, 0, scache)
+
+    c0 = model.setup_caches(B, 32)
+    ref, c0 = model(params, toks, 0, c0)
+    np.testing.assert_allclose(
+        np.asarray(lg), np.asarray(ref, np.float32), rtol=2e-4, atol=2e-4
+    )
+
+    # decode steps with per-slot position vector (serving shape)
+    nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+    pos = jnp.full((B,), 8, jnp.int32)
+    for _ in range(3):
+        lg, scache = pp(sparams, nxt[:, None], pos, scache)
+        ref, c0 = model(params, nxt[:, None], pos, c0)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(ref, np.float32),
+            rtol=2e-4, atol=2e-4,
+        )
+        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        pos = pos + 1
