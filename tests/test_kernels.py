@@ -659,3 +659,95 @@ def test_int8wo_stacked_layer_idx_matches():
             np.asarray(stacked, np.float32),
             np.asarray(single, np.float32), rtol=0, atol=2e-6,
         )
+
+def test_int4_merged_qparams_block_major_layout():
+    """Eligible shapes (Kp % 1024 == 0) store qparams_eff in the chunked
+    block-major layout (qparams_eff_chunk set) and the merged-DMA
+    kernel matches the oracle and the family-major kernel bit-for-bit
+    in its math path."""
+    from torchao_tpu.kernels.int4_matmul import (
+        eff_qparams_to_block_major,
+        int4_dq_matmul,
+        int4_dq_matmul_reference,
+    )
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig, quantize_,
+    )
+
+    rng = np.random.RandomState(11)
+    N, K, g = 256, 4096, 32          # Kp = 2048 → 2 canonical chunks
+    w = jnp.asarray(rng.randn(N, K) * 0.05, jnp.bfloat16)
+    qw = quantize_({"w": w}, Int4WeightOnlyConfig(group_size=g))["w"]
+    assert qw.qparams_eff_chunk == 1024 // g
+    nG = qw.scale.shape[0] // 2
+    # block-major reorder round-trips from the family-major form
+    s = np.asarray(qw.scale, np.float32)
+    z = np.asarray(qw.zero_point, np.float32)
+    fam = np.concatenate(
+        [s[:nG], s[nG:] / 16.0, z[:nG] - 8.0 * s[:nG], z[nG:]],
+        axis=0,
+    )
+    got_bm = np.asarray(qw.qparams_eff, np.float32)
+    cb = qw.qparams_eff_chunk
+    want_bm = np.asarray(
+        eff_qparams_to_block_major(
+            jnp.asarray(fam, jnp.float32), cb
+        )
+    )
+    np.testing.assert_allclose(got_bm, want_bm, rtol=1e-2, atol=1e-3)
+
+    x = jnp.asarray(rng.randn(2, K), jnp.bfloat16)
+    ref = int4_dq_matmul_reference(
+        x, qw.qdata, qw.scale, qw.zero_point, group_size=g
+    )
+    out_m = int4_dq_matmul(
+        x, qw.qdata, qw.scale, qw.zero_point, qw.qparams_eff,
+        group_size=g, variant="batched_int8", interpret=True,
+        qparams_chunk=cb,
+    )
+    err = compute_error(
+        jnp.asarray(ref, jnp.float32), jnp.asarray(out_m, jnp.float32)
+    )
+    assert err > 35, err
+    # family-major path on the same weight (derive-on-the-fly)
+    out_f = int4_dq_matmul(
+        x, qw.qdata, qw.scale, qw.zero_point,
+        group_size=g, variant="batched_int8", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f, np.float32), np.asarray(out_m, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_int4_merged_qparams_stacked_layer_idx():
+    """Merged kernel with stacked [L, ...] weights + traced layer_idx
+    (the decode scan path) matches per-layer unstacked calls."""
+    from torchao_tpu.kernels.int4_matmul import (
+        eff_qparams_to_block_major, int4_dq_matmul,
+    )
+
+    rng = np.random.RandomState(13)
+    L, M, K, N, g = 3, 1, 4096, 256, 32
+    Kp = K // 2
+    cb = 1024 // g
+    x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+    wp = jnp.asarray(rng.randint(0, 256, (L, Kp, N)), jnp.uint8)
+    scale = jnp.asarray(
+        rng.rand(L, K // g, N) * 0.01 + 0.005, jnp.bfloat16
+    )
+    zero = jnp.asarray(rng.randn(L, K // g, N) * 0.02, jnp.bfloat16)
+    for l in range(L):
+        got = int4_dq_matmul(
+            x, wp, scale, zero, group_size=g,
+            variant="batched_int8", interpret=True,
+            layer_idx=jnp.int32(l), qparams_chunk=cb,
+        )
+        want = int4_dq_matmul(
+            x, wp[l], scale[l], zero[l], group_size=g,
+            variant="batched_int8", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )

@@ -379,3 +379,63 @@ def test_engine_int4_kv_runs(setup):
     done = eng.run_to_completion(chunk=4)
     assert len(done) == 2
     assert all(len(r.output) == 5 for r in done)
+
+
+def test_disaggregated_prefill_matches_generate(setup):
+    """Prefill on one replica, decode on another: greedy outputs are
+    bit-identical to standalone generation (KV rows + cursor state
+    survive the handoff)."""
+    from torchao_tpu.serving.runner import DisaggregatedCluster
+
+    model, params = setup
+    rs = np.random.RandomState(7)
+    prompts = [
+        rs.randint(0, 512, L).astype(np.int32) for L in (6, 11, 4)
+    ]
+    refs = [_reference_greedy(model, params, p, 5) for p in prompts]
+
+    pe = ServingEngine(model, params, max_slots=1, max_seq_len=32)
+    d1 = ServingEngine(model, params, max_slots=2, max_seq_len=32)
+    d2 = ServingEngine(model, params, max_slots=2, max_seq_len=32)
+    cluster = DisaggregatedCluster([pe], [d1, d2])
+    cids = [
+        cluster.submit(Request(prompt=p, max_new_tokens=5))
+        for p in prompts
+    ]
+    done = cluster.run_to_completion(n=4)
+    assert len(done) == 3
+    for cid, ref in zip(cids, refs):
+        np.testing.assert_array_equal(
+            np.asarray(done[cid].output), ref, err_msg=f"req {cid}"
+        )
+
+
+def test_disaggregated_prefill_quantized_kv(setup):
+    """Handoff works across quantized smajor caches (the split-flat
+    int8 layout's four leaves all migrate)."""
+    from torchao_tpu.serving.runner import DisaggregatedCluster
+
+    model, params = setup
+    rs = np.random.RandomState(8)
+    prompt = rs.randint(0, 512, 9).astype(np.int32)
+
+    # oracle: one engine, same kv quantization
+    ref_eng = ServingEngine(
+        model, params, max_slots=1, max_seq_len=32,
+        kv_cache_quantization="int8",
+    )
+    ref_eng.add_request(Request(prompt=prompt, max_new_tokens=5))
+    ref_out = np.asarray(ref_eng.run_to_completion()[0].output)
+
+    pe = ServingEngine(
+        model, params, max_slots=1, max_seq_len=32,
+        kv_cache_quantization="int8",
+    )
+    de = ServingEngine(
+        model, params, max_slots=1, max_seq_len=32,
+        kv_cache_quantization="int8",
+    )
+    cluster = DisaggregatedCluster([pe], [de])
+    cid = cluster.submit(Request(prompt=prompt, max_new_tokens=5))
+    done = cluster.run_to_completion(n=4)
+    np.testing.assert_array_equal(np.asarray(done[cid].output), ref_out)

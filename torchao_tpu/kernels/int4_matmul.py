@@ -177,6 +177,93 @@ def _kernel_bint8(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_bint8m(
+    l_ref,      # scalar prefetch: [1] int32 layer index
+    x3_ref,     # [2nG, bm, g] bf16 — full grouped x (resident)
+    wp_ref,     # [1, bkp, bn] uint8
+    qp_ref,     # [1, 4·bg, bn] bf16 — ONE merged block-major qparams
+                # block: chunks of 4·cb rows [s_lo|s_hi/16|z2lo|z2hi]
+    out_ref, acc_ref, *, n_k_blocks: int, n_chunks: int,
+):
+    """Merged-DMA variant of ``_kernel_bint8``: identical math, but the
+    four qparam families arrive in ONE block-major stream (see
+    ``qtypes.intx._tiled_eff_qparams`` chunked layout) — 2 DMA streams
+    per grid step (weights + qparams) instead of 5. The body processes
+    the K block in ``n_chunks`` canonical chunks so the stored layout
+    is independent of the launch-time ``bkp``."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _, bkp, bn = wp_ref.shape
+    two_ng, bm, g = x3_ref.shape
+    nG = two_ng // 2
+    bg = bkp // g
+    cg = bg // n_chunks          # groups per canonical chunk
+    ck = cg * g                  # packed rows per chunk
+
+    for c in range(n_chunks):
+        wc = wp_ref[0, pl.ds(c * ck, ck)]
+        lo3 = (wc & jnp.uint8(0xF)).astype(jnp.int8).reshape(cg, g, bn)
+        b3 = (wc ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(cg, g, bn)
+
+        base = k * bg + c * cg
+        xlo = x3_ref[pl.ds(base, cg)]
+        xhi = x3_ref[pl.ds(nG + base, cg)]
+        xcat = jnp.concatenate([xlo, xhi], axis=1)       # [cg, 2bm, g]
+
+        plo = jax.lax.dot_general(
+            xcat, lo3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                 # [cg, 2bm, bn]
+        pb = jax.lax.dot_general(
+            xhi, b3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                 # [cg, bm, bn]
+        qoff = c * 4 * cg
+        slo = qp_ref[0, pl.ds(qoff, cg)]
+        shi16 = qp_ref[0, pl.ds(qoff + cg, cg)]
+        z2lo = qp_ref[0, pl.ds(qoff + 2 * cg, cg)]
+        z2hi = qp_ref[0, pl.ds(qoff + 3 * cg, cg)]
+        contrib = (
+            plo[:, :bm, :] * slo.astype(jnp.float32)[:, None, :]
+            + (pb - plo[:, bm:, :])
+            * shi16.astype(jnp.float32)[:, None, :]
+        )
+        acc_ref[:] += jnp.sum(contrib, axis=0)
+        rs_lo = jnp.sum(xlo, axis=2)                      # [cg, bm]
+        rs_hi = jnp.sum(xhi, axis=2)
+        acc_ref[:] += jax.lax.dot_general(
+            rs_lo, z2lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            rs_hi, z2hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def eff_qparams_to_block_major(qeff: jnp.ndarray, chunk_groups: int):
+    """Reorder family-major kernel-form qparams ``[.., 4·nG, N]`` into
+    the chunked block-major layout the merged kernel consumes: for each
+    canonical chunk of ``cb`` groups, its four family row-slabs are
+    contiguous ([s_lo | s_hi/16 | z2lo | z2hi] per chunk)."""
+    *lead, fourng, N = qeff.shape
+    nG = fourng // 4
+    cb = chunk_groups
+    assert nG % cb == 0, (nG, cb)
+    nchunk = nG // cb
+    q = qeff.reshape(*lead, 4, nchunk, cb, N)
+    q = jnp.moveaxis(q, -4, -3)              # [.., nchunk, 4, cb, N]
+    return q.reshape(*lead, fourng, N)
+
+
 def _kernel_banded(
     x_lo_ref,   # [bm, bkp] bf16/f32 — lo-half activation columns
     x_hi_ref,   # [bm, bkp] — hi-half activation columns
@@ -339,7 +426,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant"
+        "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant",
+        "qparams_chunk",
     ),
 )
 def int4_dq_matmul(
@@ -358,6 +446,9 @@ def int4_dq_matmul(
     interpret: bool = False,
     variant: str = "auto",
     layer_idx=None,
+    qparams_chunk: Optional[int] = None,  # groups per chunk when
+    #   qparams_eff is in the chunked BLOCK-MAJOR layout (merged-DMA
+    #   decode kernel); None = family-major
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n]).
 
@@ -430,7 +521,12 @@ def int4_dq_matmul(
             x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret, layer_idx=layer_idx,
+            qparams_chunk=qparams_chunk,
         )
+    if qparams_chunk is not None:
+        # non-decode variants assume FAMILY-major qparams_eff; let them
+        # derive their forms from scale/zero instead
+        qparams_eff = None
     if layer_idx is not None:
         # non-bint8 variants: materialize the layer slice (XLA copy)
         wp = wp[layer_idx]
@@ -484,6 +580,7 @@ def int4_dq_matmul(
 def _bint8_call(
     x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
+    qparams_chunk=None,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``).
 
@@ -531,8 +628,66 @@ def _bint8_call(
             ],
             axis=-2,
         ).astype(jnp.bfloat16)
+        if qparams_chunk is not None:
+            # callers with a chunk pass qparams_eff already block-major;
+            # on-the-fly derivation starts family-major — reorder here
+            qparams_eff = eff_qparams_to_block_major(
+                qparams_eff, qparams_chunk
+            )
 
     lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+
+    if qparams_chunk is not None:
+        # merged-DMA kernel: ONE block-major qparams stream/step
+        cb = qparams_chunk
+        ckp = cb * g                      # packed rows per chunk
+        if bkp % ckp != 0 or nG % cb != 0:
+            bkp = ckp
+            bg = bkp // g
+            nbk = Kp // bkp
+        assert Kp % bkp == 0 and bkp % ckp == 0, (Kp, bkp, ckp)
+        if qparams_eff.shape[-2] != 4 * nG:
+            raise ValueError(
+                f"qparams_eff rows {qparams_eff.shape[-2]} != 4·nG"
+            )
+        grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+        kernel = functools.partial(
+            _kernel_bint8m, n_k_blocks=nbk, n_chunks=bg // cb
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (2 * nG, bm, g), lambda i, j, k, l: (0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, bkp, bn), lambda i, j, k, l: (l[0], k, j)
+                ),
+                pl.BlockSpec(
+                    (1, 4 * bg, bn), lambda i, j, k, l: (l[0], k, j)
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * M * N * K,
+                bytes_accessed=Kp * N
+                + scale.size * 4 // max(wp.shape[0], 1) + M * K * 4,
+                transcendentals=0,
+            ),
+        )(lvec, x3, wp, qparams_eff)
+        return out
+
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -730,6 +885,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             lookup_or_tune,
         )
 
+        qchunk = getattr(w, "qparams_eff_chunk", None)
         tuned = lookup_or_tune(
             "int4_dq_matmul",
             (xb.shape[0], N, K, group_size),
@@ -738,7 +894,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
                 xb, w.qdata, w.scale, zero,
                 w.qparams_eff,
                 group_size=group_size, mid=mid,
-                layer_idx=layer_idx, **cfg,
+                layer_idx=layer_idx, qparams_chunk=qchunk, **cfg,
             ),
         )
         if tuned:
@@ -746,7 +902,8 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
         out = int4_dq_matmul(
             xb, w.qdata, w.scale, zero,
             w.qparams_eff,
-            group_size=group_size, mid=mid, layer_idx=layer_idx, **kw,
+            group_size=group_size, mid=mid, layer_idx=layer_idx,
+            qparams_chunk=qchunk, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))
 

@@ -454,6 +454,25 @@ def _smajor_update(layer_cache, k, v, input_pos, l=None):
         k_q, k_s = _quantize_kv(k)
         v_q, v_s = _quantize_kv(v)
 
+    from torchao_tpu.kernels.kv_cache_write import (
+        fused_smajor_token_write,
+        fused_write_available,
+    )
+
+    if fused_write_available(layer_cache, k, input_pos, l):
+        # serving decode (vector positions, T=1): ONE Pallas call per
+        # layer-step replaces 4·B chained DUS ops (banded in-place RMW
+        # windows at each slot's position — ROADMAP round-3 item 2)
+        X = Hkv * Dh
+        kq, vq, ksc, vsc = fused_smajor_token_write(
+            layer_cache["k_q"], layer_cache["v_q"],
+            layer_cache["k_scale"], layer_cache["v_scale"],
+            k_q.reshape(B, X), v_q.reshape(B, X),
+            k_s.reshape(B, Hkv), v_s.reshape(B, Hkv),
+            input_pos, l,
+        )
+        return {"k_q": kq, "v_q": vq, "k_scale": ksc, "v_scale": vsc}
+
     # K: [B, Hkv, T, Dh'] → D-major columns [B, Hkv·Dh', T]
     k_flat = k_q.transpose(0, 1, 3, 2).reshape(B, Hkv * Dh, T)
     # V: → S-major rows [B, T, Hkv·Dh']

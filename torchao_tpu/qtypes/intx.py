@@ -87,6 +87,38 @@ def _tiled_eff_qparams(
     ).astype(jnp.bfloat16)  # [.., 4·nG, N]
 
 
+def _tiled_eff_qparams_chunked(
+    scale, zero_point, quant_min, quant_max, zero_point_domain,
+    group_size,
+):
+    """``_tiled_eff_qparams`` + chunked block-major reorder when the
+    shape is eligible (canonical chunk = 1024 packed rows; family slabs
+    ≥ 8 sublanes). Returns ``(qparams_eff, chunk_groups_or_None)`` —
+    the merged-DMA decode kernel reads the chunked layout as ONE block
+    stream per grid step (kernels/int4_matmul.py ``_kernel_bint8m``)."""
+    import os
+
+    qe = _tiled_eff_qparams(
+        scale, zero_point, quant_min, quant_max, zero_point_domain
+    )
+    if qe is None:
+        return None, None
+    g = int(group_size)
+    nG = qe.shape[-2] // 4
+    cb = 1024 // g if g and 1024 % g == 0 else 0
+    if (
+        cb >= 8  # family slabs ≥8 sublanes (Mosaic slicing)
+        and nG % cb == 0
+        and os.environ.get("TORCHAO_TPU_QPARAMS_LAYOUT") != "family"
+    ):
+        from torchao_tpu.kernels.int4_matmul import (
+            eff_qparams_to_block_major,
+        )
+
+        return eff_qparams_to_block_major(qe, cb), cb
+    return qe, None
+
+
 def _nbits_of(target_dtype: str) -> int:
     return int(target_dtype.lstrip("uint").lstrip("int") or 8)
 
@@ -114,6 +146,11 @@ class IntxArray(QuantizedArray):
     # [.., 4·K/g, N] bf16 leaf (s_lo | s_hi/16 | z2_lo | z2_hi row
     # blocks — see _tiled_eff_qparams).
     qparams_eff: Optional[jnp.ndarray] = None
+    # When set: qparams_eff is in the chunked BLOCK-MAJOR layout
+    # (this many groups per chunk, all four families contiguous per
+    # chunk) so the merged-DMA decode kernel reads ONE qparams stream
+    # per grid step. None = family-major rows.
+    qparams_eff_chunk: Optional[int] = static_field(default=None)
 
     # --- pytree-facing ----------------------------------------------------
     @property
@@ -217,12 +254,13 @@ class IntxArray(QuantizedArray):
                 while zero_point.ndim < w.ndim:
                     zero_point = zero_point[..., None]
                 zero_point = jnp.swapaxes(zero_point, -1, -2)
-            qparams_eff = _tiled_eff_qparams(
+            qparams_eff, qparams_eff_chunk = _tiled_eff_qparams_chunked(
                 scale, zero_point, quant_min, quant_max,
-                zero_point_domain,
+                zero_point_domain, block_size[-1],
             )
         else:
             qparams_eff = None
+            qparams_eff_chunk = None
 
         if packing_format is PackingFormat.BIT_SHARDS:
             from torchao_tpu.qtypes.packing import pack_uintx
@@ -249,6 +287,7 @@ class IntxArray(QuantizedArray):
             logical_shape=logical_shape,
             activation_dtype=str(jnp.dtype(w.dtype)),
             qparams_eff=qparams_eff,
+            qparams_eff_chunk=qparams_eff_chunk,
         )
 
     # --- slicing (TP / serving weight loading) -----------------------------

@@ -161,15 +161,15 @@ def gptq_quantize_int4(
 
     spec = GPTQQuantSpec(group_size=group_size)
     Q, scales, zeros = gptq_quantize_weight(W, H, spec)
-    from torchao_tpu.qtypes.intx import _tiled_eff_qparams
+    from torchao_tpu.qtypes.intx import _tiled_eff_qparams_chunked
 
     qdata = jnp.swapaxes(
         pack_int4(Q.astype(jnp.uint8), axis=-1), -1, -2
     )
     scale_t = jnp.swapaxes(scales.astype(scale_dtype), -1, -2)
     zero_t = jnp.swapaxes(zeros.astype(scale_dtype), -1, -2)
-    qe = _tiled_eff_qparams(
-        scale_t, zero_t, 0, 15, ZeroPointDomain.FLOAT
+    qe, qchunk = _tiled_eff_qparams_chunked(
+        scale_t, zero_t, 0, 15, ZeroPointDomain.FLOAT, group_size
     )
     return IntxArray(
         qdata=qdata,
@@ -184,4 +184,5 @@ def gptq_quantize_int4(
         logical_shape=tuple(W.shape),
         activation_dtype=str(jnp.dtype(W.dtype)),
         qparams_eff=qe,
+        qparams_eff_chunk=qchunk,
     )

@@ -310,12 +310,13 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
         # (`affine_quantized_tensor.py:291-297`): zp_float = -(zero - 8)*s + ...
         # Simpler: store INT domain directly.
         from torchao_tpu.qtypes.intx import IntxArray as _I
-        from torchao_tpu.qtypes.intx import _tiled_eff_qparams
+        from torchao_tpu.qtypes.intx import _tiled_eff_qparams_chunked
 
         scale_t = jnp.swapaxes(scale.astype(w.dtype), -1, -2)
         zero_t = jnp.swapaxes(zero.astype(w.dtype), -1, -2)
-        qe = _tiled_eff_qparams(
-            scale_t, zero_t, 0, 15, ZeroPointDomain.INT
+        qe, qchunk = _tiled_eff_qparams_chunked(
+            scale_t, zero_t, 0, 15, ZeroPointDomain.INT,
+            block_size[-1],
         )
         return _I(
             qdata=jnp.swapaxes(qp_pack_uint4(q), -1, -2),
@@ -330,6 +331,7 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
             logical_shape=tuple(w.shape),
             activation_dtype=str(jnp.dtype(w.dtype)),
             qparams_eff=qe,
+            qparams_eff_chunk=qchunk,
         )
     return IntxArray.from_hp(
         w,

@@ -344,6 +344,85 @@ class ServingEngine:
                 del self.active[slot]
         return emitted
 
+    # ------------------------------------------------------------------
+    # Disaggregated prefill (prefill-replica → decode-replica handoff)
+    # ------------------------------------------------------------------
+    def _slot_xfer_programs(self):
+        if not hasattr(self, "_slot_export"):
+            @jax.jit
+            def export(cache, slot):
+                return jax.tree_util.tree_map(
+                    lambda leaf: jax.lax.dynamic_slice_in_dim(
+                        leaf, slot, 1, axis=1
+                    ),
+                    cache,
+                )
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def imprt(cache, rows, slot):
+                def put(leaf, row):
+                    start = (0, slot) + (0,) * (leaf.ndim - 2)
+                    return jax.lax.dynamic_update_slice(
+                        leaf, row.astype(leaf.dtype), start
+                    )
+
+                return jax.tree_util.tree_map(put, cache, rows)
+
+            self._slot_export = export
+            self._slot_import = imprt
+        return self._slot_export, self._slot_import
+
+    def prefill_request(self, req: Request) -> Dict:
+        """Disaggregated-prefill producer: chunk-prefill ``req`` into a
+        free slot, sample its first token, then EXPORT the slot's KV
+        rows + cursor state and free the slot (no decode step runs
+        here). The returned state dict feeds
+        :meth:`adopt_prefilled` on a decode replica — on a pod this is
+        the KV shipment over ICI/DCN; in-process it is an array copy.
+
+        Greedy (temperature=0) streams are bit-identical to a
+        non-disaggregated run; sampled streams are deterministic per
+        (replica, slot, position) keying as always."""
+        assert not self.active and not self.queue, (
+            "prefill_request is for DEDICATED prefill replicas "
+            "(one request at a time, no resident decoders)"
+        )
+        req.request_id = next(self._ids)
+        req.output = []
+        self.queue.append(req)
+        self._admit()
+        slot = next(
+            s for s, r in self.active.items() if r is req
+        )
+        export, _ = self._slot_xfer_programs()
+        kv = export(self.cache, jnp.int32(slot))
+        state = {
+            "kv": kv,                                  # leaves [L, 1, ...]
+            "token": int(self.slot_token[slot]),       # first sampled tok
+            "pos": int(self.slot_pos[slot]),           # == len(prompt)
+            "request": req,
+        }
+        del self.active[slot]
+        return state
+
+    def free_slots(self) -> List[int]:
+        return [s for s in range(self.B) if s not in self.active]
+
+    def adopt_prefilled(self, state: Dict) -> int:
+        """Disaggregated-prefill consumer: install an exported KV slot
+        state into a free local slot and start decoding it."""
+        free = self.free_slots()
+        assert free, "no free slot"
+        slot = free[0]
+        req = state["request"]
+        _, imprt = self._slot_xfer_programs()
+        self.cache = imprt(self.cache, state["kv"], jnp.int32(slot))
+        self.slot_token[slot] = state["token"]
+        self.slot_pos[slot] = state["pos"]
+        self.slot_remaining[slot] = req.max_new_tokens
+        self.active[slot] = req
+        return slot
+
     def run_to_completion(
         self, max_steps: int = 10_000, chunk: int = 0
     ) -> List[Request]:

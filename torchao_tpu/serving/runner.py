@@ -124,3 +124,81 @@ class ServingCluster:
                 break
             self.step(n)
         return self.completed
+
+
+class DisaggregatedCluster:
+    """Disaggregated prefill/decode serving (ROADMAP serving item).
+
+    Production TPU serving separates the compute-bound prefill phase
+    from the bandwidth-bound decode phase onto different replicas so
+    long prompts never stall token streams: prefill replicas run
+    chunked prompt passes and ship the finished slot's KV rows +
+    cursor state to a decode replica
+    (``ServingEngine.prefill_request`` → ``adopt_prefilled``; on a pod
+    the shipment is an ICI/DCN transfer, in-process an array copy).
+
+    Scheduling: prompts go to the least-loaded prefill replica's FIFO;
+    each ``step()`` prefills at most one request per prefill replica,
+    hands finished KV states to the decode replica with the most free
+    slots, then drives every decode replica ``n`` device steps.
+
+    Greedy streams are bit-identical to a single-engine run (tested);
+    sampled streams stay deterministic per (replica, slot, position).
+    """
+
+    def __init__(
+        self,
+        prefill_engines: List[ServingEngine],
+        decode_engines: List[ServingEngine],
+    ):
+        assert prefill_engines and decode_engines
+        self.prefill = prefill_engines
+        self.decode = decode_engines
+        self.prefill_queue: List[tuple] = []   # (cid, Request)
+        self.ready: List[tuple] = []           # (cid, state)
+        self.completed: Dict[int, Request] = {}
+        self._next_id = 0
+        self._inflight: Dict[int, Request] = {}
+
+    def submit(self, req: Request) -> int:
+        cid = self._next_id
+        self._next_id += 1
+        self.prefill_queue.append((cid, req))
+        return cid
+
+    def step(self, n: int = 8):
+        # 1) prefill phase: one request per idle prefill replica
+        for pe in self.prefill:
+            if not self.prefill_queue:
+                break
+            cid, req = self.prefill_queue.pop(0)
+            state = pe.prefill_request(req)
+            self.ready.append((cid, state))
+        # 2) KV handoff to the decode replica with the most free slots
+        still_waiting = []
+        for cid, state in self.ready:
+            de = max(self.decode, key=lambda e: len(e.free_slots()))
+            if not de.free_slots():
+                still_waiting.append((cid, state))
+                continue
+            de.adopt_prefilled(state)
+            self._inflight[cid] = state["request"]
+        self.ready = still_waiting
+        # 3) decode phase
+        for de in self.decode:
+            if de.active:
+                de.step_n(n)
+            for req in de.completed:
+                for cid, r in list(self._inflight.items()):
+                    if r is req:
+                        self.completed[cid] = req
+                        del self._inflight[cid]
+            de.completed.clear()
+
+    def run_to_completion(self, n: int = 8, max_rounds: int = 10000):
+        total = self._next_id
+        for _ in range(max_rounds):
+            if len(self.completed) == total and not self.prefill_queue:
+                break
+            self.step(n)
+        return self.completed
