@@ -129,7 +129,15 @@ def main():
     name = os.environ.get("BENCH_MODEL", "Llama-3-8B")
     num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "128"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
-    kv_quant = os.environ.get("BENCH_KV_QUANT") or False  # "int8"/"int4"
+    # int4-quantized KV cache ON by default: the headline config now
+    # literally matches BASELINE config #3 ("int4wo g=32 + int4
+    # quantized KV-cache"). A/B at prompt 128: 124.97 tok/s with
+    # int4_smajor KV vs 125.54 without (a no-op at short ctx; the
+    # packed-int4 split-flat cache wins at 8k — benchmark_results.txt).
+    # BENCH_KV_QUANT=none opts out; "int8_smajor"/"int8"/"int4" select.
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "int4_smajor")
+    if kv_quant in ("none", "0", "false", ""):
+        kv_quant = False
     batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     if small:

@@ -751,3 +751,61 @@ def test_int4_merged_qparams_stacked_layer_idx():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+def test_fp8_mixed_matmul_wo_and_dq():
+    """fp8_mixed_matmul (interpret): bf16-act (fp8wo) and e4m3-act
+    (fp8dq) paths match the f32 oracle within fp8 rounding."""
+    from torchao_tpu.kernels.fp8_matmul import fp8_mixed_matmul
+
+    rng = np.random.RandomState(3)
+    M, N, K = 4, 256, 512
+    x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+    wq = jnp.asarray(rng.randn(N, K), jnp.float8_e4m3fn)
+    ws = jnp.asarray(rng.rand(N) * 0.02 + 0.01, jnp.float32)
+
+    out = fp8_mixed_matmul(x, wq, ws, interpret=True)
+    ref = (
+        x.astype(jnp.float32)
+        @ wq.astype(jnp.float32).T
+    ) * ws[None, :]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=1e-3
+    )
+
+    xq = jnp.asarray(rng.randn(M, K), jnp.float8_e4m3fn)
+    xs = jnp.asarray(rng.rand(M) * 0.1 + 0.05, jnp.float32)
+    out = fp8_mixed_matmul(xq, wq, ws, xs, interpret=True)
+    ref = (
+        xq.astype(jnp.float32) @ wq.astype(jnp.float32).T
+    ) * xs[:, None] * ws[None, :]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=1e-3
+    )
+
+
+def test_fp8_mixed_matmul_stacked_layer_idx():
+    """Stacked [L, N, K] fp8 weights + traced layer_idx (the decode
+    scan path) must match per-layer unstacked calls — per-row AND
+    per-tensor weight scales."""
+    from torchao_tpu.kernels.fp8_matmul import fp8_mixed_matmul
+
+    rng = np.random.RandomState(4)
+    L, M, N, K = 3, 2, 256, 512
+    x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+    wq = jnp.asarray(rng.randn(L, N, K), jnp.float8_e4m3fn)
+    for ws in (
+        jnp.asarray(rng.rand(L, N) * 0.02 + 0.01, jnp.float32),
+        jnp.asarray(rng.rand(L, 1) * 0.02 + 0.01, jnp.float32),
+    ):
+        for l in range(L):
+            stacked = fp8_mixed_matmul(
+                x, wq, ws, interpret=True, layer_idx=jnp.int32(l)
+            )
+            single = fp8_mixed_matmul(
+                x, wq[l], ws[l], interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(stacked, np.float32),
+                np.asarray(single, np.float32), rtol=0, atol=2e-6,
+            )

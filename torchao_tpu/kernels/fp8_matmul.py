@@ -111,6 +111,175 @@ def fp8_rowwise_matmul_reference(x_q, w_q, x_scale, w_scale,
     return out.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Stacked mixed-dot fp8 kernel (decode hot path).
+#
+# Probed on hw (scripts/fp8_cast_probe.py): e4m3->bf16 and e4m3->f32
+# casts are Mosaic-legal and exact, and a DIRECT bf16-lhs x e4m3-rhs
+# dot_general is native+exact on the MXU — so fp8 weights stream to the
+# MXU with zero cast work, exactly like the int8wo mixed kernel. The
+# weight side carries a scalar-prefetched stacked-layer axis so decode
+# under lax.scan never materializes a per-layer slice (the ~40%-of-step
+# copy pathology — see int4_matmul._kernel_bint8). Replaces the
+# reference's torch._scaled_mm hot path for decode
+# (``float8_layout.py:329-367``).
+# ---------------------------------------------------------------------------
+
+
+def _mixed_kernel(l_ref, x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref,
+                  *, n_k_blocks):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lhs = x_ref[:]
+    if lhs.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8dq: e4m3 activations upcast in VMEM (M rows — tiny);
+        # products of two fp8 values are exact in bf16xbf16->f32
+        lhs = lhs.astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        lhs, w_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = (
+            acc_ref[:]
+            * xs_ref[:].astype(jnp.float32)
+            * ws_ref[0].astype(jnp.float32)
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "bm", "bn", "bk", "interpret"),
+)
+def fp8_mixed_matmul(
+    x: jnp.ndarray,        # [M, K] bf16/f32 (fp8wo) or e4m3 (fp8dq)
+    w_q: jnp.ndarray,      # [(L,) N, K] e4m3
+    w_scale: jnp.ndarray,  # [(L,) N] or [(L,) 1] f32
+    x_scale: Optional[jnp.ndarray] = None,  # [M] f32 (fp8dq act scales)
+    out_dtype=jnp.bfloat16,
+    *,
+    bm: Optional[int] = None,
+    bn: int = 1024,
+    bk: int = 2048,
+    interpret: bool = False,
+    layer_idx=None,
+) -> jnp.ndarray:
+    """out = (x · dq(w).T) with rowwise/tensorwise weight scales and
+    optional per-row activation scales fused into the epilogue."""
+    M, K = x.shape
+    if layer_idx is None:
+        w_q = w_q[None]
+        w_scale = w_scale.reshape(1, -1)
+        layer_idx = 0
+    L, N, K2 = w_q.shape
+    assert K == K2, (K, K2)
+    ws = jnp.broadcast_to(
+        w_scale.reshape(L, 1, -1).astype(jnp.float32), (L, 1, N)
+    )
+    xs = (
+        jnp.ones((M, 1), jnp.float32) if x_scale is None
+        # per-row [M] or per-tensor [1] activation scales
+        else jnp.broadcast_to(
+            x_scale.astype(jnp.float32).reshape(-1, 1), (M, 1)
+        )
+    )
+
+    bn = min(bn, N)
+    bk = min(bk, K)
+    if bm is None:
+        bm = 8 if M <= 8 else min(256, M)
+    bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    nbk = cdiv(K, bk)
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cdiv(M, bm), cdiv(N, bn), nbk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((1, bn, bk), lambda i, j, k, l: (l[0], j, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k, l: (i, 0)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_mixed_kernel, n_k_blocks=nbk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * K + M * K * 2 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(lvec, x, w_q, xs, ws)
+
+
+def fp8_mixed_matmul_available(x, w, layer_idx=None):
+    """Probe for the stacked/mixed fp8 decode path: e4m3 Float8Array
+    with per-row or per-tensor scales, aligned shapes. ``x`` is the
+    HIGH-PRECISION activation (act quant, if any, happens in the impl)."""
+    import os
+
+    from torchao_tpu.qtypes.float8 import (
+        Float8Array,
+        quantize_activation_float8,
+    )
+
+    if os.environ.get("TORCHAO_TPU_DISABLE_PALLAS_FP8") == "1":
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    stacked = layer_idx is not None
+    if not isinstance(w, Float8Array):
+        return None
+    if w.qdata.ndim != (3 if stacked else 2):
+        return None
+    if w.float8_dtype != "float8_e4m3fn":
+        return None
+    L = w.qdata.shape[0] if stacked else 1
+    N, K = w.qdata.shape[-2:]
+    if N % 128 != 0 or K % 128 != 0:
+        return None
+    if w.scale.size not in (L, L * N):
+        return None
+    spec = w.act_quant_spec
+    if spec is not None and spec.granularity not in (
+        "per_row", "per_tensor"
+    ):
+        return None
+
+    def impl(x, w_arr):
+        xb = x.reshape(-1, K)
+        ws = w_arr.scale.astype(jnp.float32)
+        ws = ws.reshape(L, -1) if stacked else ws.reshape(-1)
+        if w_arr.act_quant_spec is None:
+            x_in, xs = xb, None
+        else:
+            x_q, x_scale = quantize_activation_float8(
+                xb, w_arr.act_quant_spec
+            )
+            x_in, xs = x_q, x_scale.reshape(-1)
+        out = fp8_mixed_matmul(
+            x_in, w_arr.qdata, ws, xs,
+            out_dtype=x.dtype, layer_idx=layer_idx,
+        )
+        return out.reshape(x.shape[:-1] + (N,))
+
+    return impl
+
+
 def fp8_rowwise_matmul_available(x_q, w):
     from torchao_tpu.qtypes.float8 import Float8Array
 

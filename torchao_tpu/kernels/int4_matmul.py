@@ -876,10 +876,12 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
         v = os.environ.get("TORCHAO_TPU_INT4_VARIANT")
         if v in ("fused", "group_partial", "batched_int8", "banded"):
             kw["variant"] = v
-        for name in ("bn", "bkp"):  # block experimentation knobs
-            ev = os.environ.get(f"TORCHAO_TPU_INT4_{name.upper()}")
-            if ev:
-                kw[name] = int(ev)
+        if xb.shape[0] <= 16:  # decode-shaped calls only: the fused
+            # prefill variant has its own (much tighter) VMEM budget
+            for name in ("bn", "bkp"):  # block experimentation knobs
+                ev = os.environ.get(f"TORCHAO_TPU_INT4_{name.upper()}")
+                if ev:
+                    kw[name] = int(ev)
         from torchao_tpu.kernels.autotune import (
             int4_matmul_candidates,
             lookup_or_tune,

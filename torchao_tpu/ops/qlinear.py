@@ -128,6 +128,19 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
             out = impl(x, w)
             return out + bias if bias is not None else out
 
+    if isinstance(w, Float8Array) and w.qdata.ndim == 3:
+        from torchao_tpu.kernels import fp8_matmul
+
+        # fp8wo AND fp8dq decode: the mixed bf16×e4m3 MXU dot streams
+        # fp8 weights with zero cast work (probed native+exact); act
+        # quant (when act_quant_spec is set) happens inside the impl
+        impl = fp8_matmul.fp8_mixed_matmul_available(
+            x, w, layer_idx=layer_idx
+        )
+        if impl is not None:
+            out = impl(x, w)
+            return out + bias if bias is not None else out
+
     if (
         isinstance(w, LinearActivationQuantizedArray)
         and isinstance(w.original_weight, IntxArray)
