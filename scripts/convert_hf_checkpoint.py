@@ -89,10 +89,13 @@ def convert(checkpoint_dir: str, model_name: str) -> Dict[str, np.ndarray]:
     out["layers.attention.wo"] = stack(
         "model.layers.{}.self_attn.o_proj.weight"
     )
-    out["layers.feed_forward.w1"] = stack(
-        "model.layers.{}.mlp.gate_proj.weight"
+    out["layers.feed_forward.w13"] = np.concatenate(
+        [
+            stack("model.layers.{}.mlp.gate_proj.weight"),
+            stack("model.layers.{}.mlp.up_proj.weight"),
+        ],
+        axis=1,
     )
-    out["layers.feed_forward.w3"] = stack("model.layers.{}.mlp.up_proj.weight")
     out["layers.feed_forward.w2"] = stack(
         "model.layers.{}.mlp.down_proj.weight"
     )

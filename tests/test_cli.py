@@ -73,8 +73,8 @@ def test_sparsity_flag_filters():
     model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))
     sp = sparsify_(params, SemiSparseWeightConfig(), ffn_only_filter)
-    w1 = np.asarray(sp["layers"]["feed_forward"]["w1"])
-    assert abs(float((w1 == 0).mean()) - 0.5) < 0.02
+    w13 = np.asarray(sp["layers"]["feed_forward"]["w13"])
+    assert abs(float((w13 == 0).mean()) - 0.5) < 0.02
     # attention untouched
     wq = np.asarray(sp["layers"]["attention"]["wqkv"])
     assert float((wq == 0).mean()) < 0.01

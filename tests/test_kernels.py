@@ -175,6 +175,7 @@ class TestDispatchIntegration:
             x, qw.qdata, qw.scale, qw.zero_point,
             group_size=qw.block_size[-1], mid=mid,
             bn=128, bkp=256, interpret=True,
+            xored=qw.nibbles_xored,
         )
         err = compute_error(ref, out)
         assert err > 30, f"pallas vs xla path SQNR {err}"
@@ -331,6 +332,14 @@ class TestW4A8Matmul:
             filter_fn=lambda p, l: True,
         )["w"]
         inner = qw.original_weight
+        # pre-XORed storage declines the w4a8 kernel (the 8da4w
+        # centered-act path covers it); un-XOR for this kernel's test
+        import dataclasses as _dc
+
+        inner = _dc.replace(
+            inner, qdata=inner.qdata ^ jnp.uint8(0x80),
+            nibbles_xored=False,
+        )
         impl = w4a8_dq_matmul_available(inner)
         assert impl is not None
         x = jnp.asarray(rs.randn(4, 512), jnp.float32)

@@ -141,7 +141,7 @@ def test_early_exit_draft_quantized():
     )
     draft, dparams = early_exit_draft(model, qparams, 2)
     assert draft.args.n_layer == 2
-    w = dparams["layers"]["feed_forward"]["w1"]
+    w = dparams["layers"]["feed_forward"]["w13"]
     assert w.qdata.shape[0] == 2 and w.logical_shape[0] == 2
 
     prompt = jnp.asarray(

@@ -111,9 +111,9 @@ def test_spinquant_spreads_outliers():
     max/mean ratio after rotation (the property that helps int4)."""
     model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))
-    w = params["layers"]["feed_forward"]["w1"]
+    w = params["layers"]["feed_forward"]["w13"]
     w = w.at[:, :, 7].mul(100.0)  # channel outlier
-    params["layers"]["feed_forward"]["w1"] = w
+    params["layers"]["feed_forward"]["w13"] = w
     rotated = apply_spinquant(params, jax.random.PRNGKey(3))
 
     def kurtosis_proxy(x):
@@ -121,7 +121,7 @@ def test_spinquant_spreads_outliers():
         return x.max() / (x.mean() + 1e-9)
 
     before = kurtosis_proxy(w)
-    after = kurtosis_proxy(rotated["layers"]["feed_forward"]["w1"])
+    after = kurtosis_proxy(rotated["layers"]["feed_forward"]["w13"])
     assert after < before / 2, (before, after)
 
 

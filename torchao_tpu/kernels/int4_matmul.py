@@ -44,6 +44,7 @@ from torchao_tpu.utils import cdiv
 def _kernel_v2(
     x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
     out_ref, acc_ref, *, group_size: int, n_k_blocks: int, mid: float,
+    xored: bool = False,
 ):
     """Scale-on-partials variant: per-group bf16 sub-matmuls with the
     scale applied to [bm, bn] f32 partials and the zero term as a
@@ -61,6 +62,8 @@ def _kernel_v2(
     n_groups = bkp // g
 
     wp = wp_ref[:]
+    if xored:
+        wp = wp ^ jnp.uint8(0x80)
     lo = (wp & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
     w_f = wp.astype(jnp.int16).astype(jnp.bfloat16)
     hi = (w_f - lo) * jnp.bfloat16(0.0625)
@@ -100,7 +103,7 @@ def _kernel_bint8(
     shi16_ref,  # [1, bg, bn] bf16 — s_hi/16      array, four family-
     z2lo_ref,   # [1, bg, bn] bf16 — z − mid·s    offset index maps —
     z2hi_ref,   # [1, bg, bn] bf16 — z+(8−mid)·s  see _bint8_call)
-    out_ref, acc_ref, *, n_k_blocks: int,
+    out_ref, acc_ref, *, n_k_blocks: int, xored: bool = False,
 ):
     """Batched-int8 variant: zero float casts on the weight path.
 
@@ -139,7 +142,10 @@ def _kernel_bint8(
 
     w = wp_ref[0]
     lo3 = (w & jnp.uint8(0xF)).astype(jnp.int8).reshape(bg, g, bn)
-    b3 = (w ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(bg, g, bn)
+    # pre-XORed storage (IntxArray.nibbles_xored): b' is the raw byte
+    b3 = (w if xored else (w ^ jnp.uint8(0x80))).astype(
+        jnp.int8
+    ).reshape(bg, g, bn)
 
     xlo = x3_ref[pl.ds(k * bg, bg)]
     xhi = x3_ref[pl.ds(nG + k * bg, bg)]
@@ -184,6 +190,7 @@ def _kernel_bint8m(
     qp_ref,     # [1, 4·bg, bn] bf16 — ONE merged block-major qparams
                 # block: chunks of 4·cb rows [s_lo|s_hi/16|z2lo|z2hi]
     out_ref, acc_ref, *, n_k_blocks: int, n_chunks: int,
+    xored: bool = False,
 ):
     """Merged-DMA variant of ``_kernel_bint8``: identical math, but the
     four qparam families arrive in ONE block-major stream (see
@@ -207,7 +214,9 @@ def _kernel_bint8m(
     for c in range(n_chunks):
         wc = wp_ref[0, pl.ds(c * ck, ck)]
         lo3 = (wc & jnp.uint8(0xF)).astype(jnp.int8).reshape(cg, g, bn)
-        b3 = (wc ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(cg, g, bn)
+        b3 = (wc if xored else (wc ^ jnp.uint8(0x80))).astype(
+            jnp.int8
+        ).reshape(cg, g, bn)
 
         base = k * bg + c * cg
         xlo = x3_ref[pl.ds(base, cg)]
@@ -273,6 +282,7 @@ def _kernel_banded(
     z2lo_ref,   # [bg, bn] bf16 — z − mid·s (lo)
     z2hi_ref,   # [bg, bn] bf16 — z + (8 − mid)·s (hi)
     out_ref, acc_ref, *, group_size: int, n_k_blocks: int,
+    xored: bool = False,
 ):
     """Banded fat-dot variant: ONE wide MXU contraction per half.
 
@@ -309,7 +319,9 @@ def _kernel_banded(
 
     w = wp_ref[:]
     lo = (w & jnp.uint8(0xF)).astype(jnp.int8)            # [bkp, bn]
-    bp = (w ^ jnp.uint8(0x80)).astype(jnp.int8)           # lo + 16·(hi−8)
+    bp = (w if xored else (w ^ jnp.uint8(0x80))).astype(
+        jnp.int8
+    )                                                     # lo + 16·(hi−8)
     # NOTE: int8 `bp - lo` is NOT Mosaic-legal (arith.subi on i8 fails
     # to legalize, probed on hw) — subtract the f32 partials instead,
     # exactly as the batched_int8 variant does.
@@ -373,6 +385,7 @@ def _kernel_banded(
 def _kernel(
     x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
     out_ref, acc_ref, *, group_size: int, n_k_blocks: int, mid: float,
+    xored: bool = False,
 ):
     k = pl.program_id(2)
 
@@ -395,6 +408,8 @@ def _kernel(
     #                              ≤255 and multiples of 16 are exact
     #                              in bf16's 8-bit mantissa)
     wp = wp_ref[:]
+    if xored:
+        wp = wp ^ jnp.uint8(0x80)
     lo = (wp & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
     w_f = wp.astype(jnp.int16).astype(jnp.bfloat16)
     hi = (w_f - lo) * jnp.bfloat16(0.0625)
@@ -427,7 +442,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant",
-        "qparams_chunk",
+        "qparams_chunk", "xored",
     ),
 )
 def int4_dq_matmul(
@@ -449,6 +464,7 @@ def int4_dq_matmul(
     qparams_chunk: Optional[int] = None,  # groups per chunk when
     #   qparams_eff is in the chunked BLOCK-MAJOR layout (merged-DMA
     #   decode kernel); None = family-major
+    xored: bool = False,  # qdata bytes pre-XORed with 0x80
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n]).
 
@@ -521,7 +537,7 @@ def int4_dq_matmul(
             x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret, layer_idx=layer_idx,
-            qparams_chunk=qparams_chunk,
+            qparams_chunk=qparams_chunk, xored=xored,
         )
     if qparams_chunk is not None:
         # non-decode variants assume FAMILY-major qparams_eff; let them
@@ -539,12 +555,12 @@ def int4_dq_matmul(
         return _banded_call(
             x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
-            interpret=interpret,
+            interpret=interpret, xored=xored,
         )
 
     kfn = _kernel_v2 if variant == "group_partial" else _kernel
     kernel = functools.partial(
-        kfn, group_size=g_eff, n_k_blocks=nbk, mid=mid
+        kfn, group_size=g_eff, n_k_blocks=nbk, mid=mid, xored=xored
     )
     out = pl.pallas_call(
         kernel,
@@ -580,7 +596,7 @@ def int4_dq_matmul(
 def _bint8_call(
     x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
-    qparams_chunk=None,
+    qparams_chunk=None, xored=False,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``).
 
@@ -652,7 +668,8 @@ def _bint8_call(
             )
         grid = (cdiv(M, bm), cdiv(N, bn), nbk)
         kernel = functools.partial(
-            _kernel_bint8m, n_k_blocks=nbk, n_chunks=bg // cb
+            _kernel_bint8m, n_k_blocks=nbk, n_chunks=bg // cb,
+            xored=xored,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -689,7 +706,7 @@ def _bint8_call(
         return out
 
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
-    kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk)
+    kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk, xored=xored)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -737,7 +754,7 @@ def _bint8_call(
 
 def _banded_call(
     x, wp, scale, zero, qparams_eff=None,
-    *, group_size, mid, bm, bn, bkp, interpret,
+    *, group_size, mid, bm, bn, bkp, interpret, xored=False,
 ):
     """Launch the banded fat-dot variant (see ``_kernel_banded``)."""
     M, K = x.shape
@@ -765,7 +782,7 @@ def _banded_call(
 
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(
-        _kernel_banded, group_size=g, n_k_blocks=nbk
+        _kernel_banded, group_size=g, n_k_blocks=nbk, xored=xored
     )
     out = pl.pallas_call(
         kernel,
@@ -795,10 +812,13 @@ def _banded_call(
     return out
 
 
-def int4_dq_matmul_reference(x, wp, scale, zero, *, group_size, mid=8.0):
+def int4_dq_matmul_reference(x, wp, scale, zero, *, group_size, mid=8.0,
+                             xored=False):
     """jnp oracle with identical math (wp/scale/zero K-major)."""
     from torchao_tpu.qtypes.packing import unpack_int4
 
+    if xored:
+        wp = wp ^ jnp.uint8(0x80)
     q = unpack_int4(wp.T, axis=-1).astype(jnp.bfloat16)  # [N, K]
     s = jnp.repeat(scale.T.astype(jnp.bfloat16), group_size, axis=-1)
     z = jnp.repeat(zero.T.astype(jnp.bfloat16), group_size, axis=-1)
@@ -888,6 +908,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
         )
 
         qchunk = getattr(w, "qparams_eff_chunk", None)
+        xorf = getattr(w, "nibbles_xored", False)
         tuned = lookup_or_tune(
             "int4_dq_matmul",
             (xb.shape[0], N, K, group_size),
@@ -896,7 +917,8 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
                 xb, w.qdata, w.scale, zero,
                 w.qparams_eff,
                 group_size=group_size, mid=mid,
-                layer_idx=layer_idx, qparams_chunk=qchunk, **cfg,
+                layer_idx=layer_idx, qparams_chunk=qchunk,
+                xored=xorf, **cfg,
             ),
         )
         if tuned:
@@ -905,7 +927,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             xb, w.qdata, w.scale, zero,
             w.qparams_eff,
             group_size=group_size, mid=mid, layer_idx=layer_idx,
-            qparams_chunk=qchunk, **kw,
+            qparams_chunk=qchunk, xored=xorf, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))
 

@@ -236,6 +236,10 @@ def w4a8_dq_matmul_available(w):
         return None
     if w.packing_format is not PackingFormat.TILED_NIBBLES:
         return None
+    if getattr(w, "nibbles_xored", False):
+        # pre-XORed bytes: ride the batched-int8 int4 kernel instead
+        # (the 8da4w centered-act dispatch handles this weight)
+        return None
     if w.qdata.ndim != 2:
         return None
     N, K = w.shape

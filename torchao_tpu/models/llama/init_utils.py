@@ -34,8 +34,7 @@ def init_quantized_params(model, config, filter_fn, key):
         "tok_embeddings.weight": ((V, D), D),
         "layers.attention.wqkv": ((L, qkv_out, D), D),
         "layers.attention.wo": ((L, D, H * Dh), H * Dh),
-        "layers.feed_forward.w1": ((L, I, D), D),
-        "layers.feed_forward.w3": ((L, I, D), D),
+        "layers.feed_forward.w13": ((L, 2 * I, D), D),
         "layers.feed_forward.w2": ((L, D, I), I),
         "output.weight": ((V, D), D),
     }
@@ -46,16 +45,59 @@ def init_quantized_params(model, config, filter_fn, key):
     def make(name, k):
         shape, fan_in = shapes[name]
 
-        def init_fn(k):
+        def init_fn(k, shp):
             w = (
-                jax.random.normal(k, shape, jnp.float32)
+                jax.random.normal(k, shp, jnp.float32)
                 / math.sqrt(fan_in)
             ).astype(dtype)
             if filter_fn(name, w):
                 return handler(w, config)
             return w
 
-        out = jax.jit(init_fn)(k)
+        # the merged w13 hp temporary ([L, 2I, D] bf16 ≈ 7.5 GB at 8B)
+        # plus quantize intermediates exceeds v5e HBM: init + quantize
+        # out-feature halves separately and concatenate the QUANTIZED
+        # leaves (IntxArray.concat_out_features)
+        n_chunks = 2 if name == "layers.feed_forward.w13" else 1
+        if n_chunks > 1:
+            from torchao_tpu.qtypes.intx import IntxArray
+
+            half = (shape[0], shape[1] // n_chunks) + shape[2:]
+            ks = jax.random.split(k, n_chunks)
+            parts = []
+            for kc in ks:
+                p = jax.jit(init_fn, static_argnums=1)(kc, half)
+                jax.block_until_ready(p)
+                parts.append(p)
+            if isinstance(parts[0], IntxArray):
+                out = jax.jit(IntxArray.concat_out_features)(parts)
+            elif (
+                hasattr(parts[0], "qdata")
+                and getattr(parts[0], "scale", None) is not None
+                and parts[0].scale.ndim == parts[0].qdata.ndim
+                and parts[0].scale.shape[-2] == parts[0].qdata.shape[-2]
+            ):  # Float8Array-like with per-row scales
+                import dataclasses as _dc
+
+                out = _dc.replace(
+                    parts[0],
+                    qdata=jnp.concatenate(
+                        [p.qdata for p in parts], axis=-2
+                    ),
+                    scale=jnp.concatenate(
+                        [p.scale for p in parts], axis=-2
+                    ),
+                )
+            elif hasattr(parts[0], "qdata"):
+                # per-tensor-scale types can't concat exactly: fall back
+                # to one whole-leaf init (may need more HBM headroom)
+                out = jax.jit(init_fn, static_argnums=1)(k, shape)
+            else:
+                out = jnp.concatenate(parts, axis=-2)
+            jax.block_until_ready(out)
+            return out
+
+        out = jax.jit(init_fn, static_argnums=1)(k, shape)
         jax.block_until_ready(out)
         return out
 
@@ -69,8 +111,7 @@ def init_quantized_params(model, config, filter_fn, key):
                 "wo": leaves["layers.attention.wo"],
             },
             "feed_forward": {
-                "w1": leaves["layers.feed_forward.w1"],
-                "w3": leaves["layers.feed_forward.w3"],
+                "w13": leaves["layers.feed_forward.w13"],
                 "w2": leaves["layers.feed_forward.w2"],
             },
             "attention_norm": {"weight": jnp.ones((L, D), dtype)},

@@ -9,7 +9,7 @@ quantizes, rowwise scales shard with rows, group scales shard with their
 K-blocks, per-tensor scales replicate.
 
 Llama TP layout (megatron-style, over the ``model`` mesh axis):
-  - wqkv, w1, w3: column-parallel (output features sharded)
+  - wqkv, w13: column-parallel (output features sharded)
   - wo, w2: row-parallel (input features sharded; XLA inserts the psum)
   - embeddings/norms: replicated;  output head: vocab-sharded
   - KV cache: heads sharded on ``model``, batch on ``data``
@@ -45,8 +45,7 @@ def _llama_weight_specs(model_axis: str) -> Dict[str, P]:
         "tok_embeddings.weight": P(None, None),
         "layers.attention.wqkv": P(None, m, None),     # column-parallel
         "layers.attention.wo": P(None, None, m),       # row-parallel
-        "layers.feed_forward.w1": P(None, m, None),
-        "layers.feed_forward.w3": P(None, m, None),
+        "layers.feed_forward.w13": P(None, m, None),
         "layers.feed_forward.w2": P(None, None, m),
         "layers.attention_norm.weight": P(None, None),
         "layers.ffn_norm.weight": P(None, None),

@@ -1,18 +1,20 @@
-"""MXArray — OCP Microscaling (MX) formats, emulated for TPU.
+"""MXArray — OCP Microscaling (MX) formats with bit-packed storage.
 
 Covers the reference's ``torchao/prototype/mx_formats/mx_tensor.py``
 (``MXTensor:466``, ``to_mx:133``): a block of 32 elements shares one e8m0
 (power-of-two) scale; elements are fp8_e4m3 / fp6_e3m2 / fp6_e2m3 /
-fp4_e2m1. Blackwell's native MX gemms don't exist on TPU, so elements are
-stored on their ExMy grid (fp8 natively; fp6/fp4 value-gridded in fp8
-storage — numerics exact, memory savings partial) and matmuls run after
-dequant — the reference's own "emulated" kernel choice
-(``config.py:20`` MXGemmKernelChoice.EMULATED).
+fp4_e2m1. Blackwell's native MX gemms don't exist on TPU, so matmuls run
+after dequant — the reference's own "emulated" kernel choice
+(``config.py:20`` MXGemmKernelChoice.EMULATED) — but STORAGE is true to
+the format's bit-width: fp8 elements store natively, fp6/fp4 elements
+store as ExMy bit codes packed into power-of-2 shards along the last
+axis (fp4 → one 4-bit shard at 2 codes/byte, fp6 → 4-bit + 2-bit shards;
+``qtypes/packing.py``), so an mxfp4 tensor is 4/16 + 8/(16·32) of bf16.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -20,6 +22,11 @@ from torchao_tpu.qtypes.base import (
     QuantizedArray,
     qarray_dataclass,
     static_field,
+)
+from torchao_tpu.qtypes.packing import pack_uintx, unpack_uintx
+from torchao_tpu.quantization.quant_primitives import (
+    exmy_decode,
+    exmy_encode,
 )
 
 # elem dtype → (ebits, mbits, max_normal)
@@ -47,15 +54,34 @@ def _round_to_exmy(x32: jnp.ndarray, ebits: int, mbits: int, max_normal: float):
 
 @qarray_dataclass
 class MXArray(QuantizedArray):
-    qdata: jnp.ndarray          # element values on the ExMy grid
+    qdata: jnp.ndarray          # fp8: native fp8 array; fp6/fp4: packed
+    #   bit-shard codes (uint8) along the last axis
     scale_exp: jnp.ndarray      # uint8 e8m0 biased exponents, blocked shape
+    qdata2: Optional[jnp.ndarray] = None  # second bit shard (fp6)
     elem_dtype: str = static_field(default="fp8_e4m3")
     block_size: int = static_field(default=32)
     activation_dtype: str = static_field(default="bfloat16")
 
     @property
+    def _packed(self) -> bool:
+        return not self.elem_dtype.startswith("fp8")
+
+    @property
     def shape(self):
-        return self.qdata.shape
+        if not self._packed:
+            return self.qdata.shape
+        lead = self.scale_exp.shape[:-1]
+        return tuple(lead) + (self.scale_exp.shape[-1] * self.block_size,)
+
+    def _elem_values(self) -> jnp.ndarray:
+        """Element values on the ExMy grid, fp32."""
+        if not self._packed:
+            return self.qdata.astype(jnp.float32)
+        ebits, mbits, _ = _ELEM_FORMATS[self.elem_dtype]
+        nbits = 1 + ebits + mbits
+        shards = [s for s in (self.qdata, self.qdata2) if s is not None]
+        codes = unpack_uintx(shards, nbits, self.shape[-1], axis=-1)
+        return exmy_decode(codes, ebits, mbits)
 
     def dequantize(self, output_dtype=None) -> jnp.ndarray:
         if output_dtype is None:
@@ -64,7 +90,7 @@ class MXArray(QuantizedArray):
             self.scale_exp.astype(jnp.float32) - E8M0_EXP_BIAS
         )
         scale = jnp.repeat(scale, self.block_size, axis=-1)
-        return (self.qdata.astype(jnp.float32) * scale).astype(output_dtype)
+        return (self._elem_values() * scale).astype(output_dtype)
 
 
 def to_mx(
@@ -87,14 +113,20 @@ def to_mx(
     scaled = blocks / scale[..., None]
     q = _round_to_exmy(scaled, ebits, mbits, max_normal)
     q = q.reshape(x.shape)
-    storage = (
-        jnp.float8_e4m3fn if elem_dtype == "fp8_e4m3"
-        else jnp.float8_e5m2 if elem_dtype == "fp8_e5m2"
-        else jnp.bfloat16  # fp6/fp4 grids are exactly representable in bf16
-    )
+    if elem_dtype == "fp8_e4m3":
+        qdata, qdata2 = q.astype(jnp.float8_e4m3fn), None
+    elif elem_dtype == "fp8_e5m2":
+        qdata, qdata2 = q.astype(jnp.float8_e5m2), None
+    else:
+        # fp6/fp4: ExMy bit codes packed into power-of-2 shards
+        codes = exmy_encode(q, ebits, mbits)
+        shards = pack_uintx(codes, 1 + ebits + mbits, axis=-1)
+        qdata = shards[0]
+        qdata2 = shards[1] if len(shards) > 1 else None
     return MXArray(
-        qdata=q.astype(storage),
+        qdata=qdata,
         scale_exp=(shared_exp + E8M0_EXP_BIAS).astype(jnp.uint8),
+        qdata2=qdata2,
         elem_dtype=elem_dtype,
         block_size=block_size,
         activation_dtype=str(jnp.dtype(x.dtype)),
@@ -103,25 +135,29 @@ def to_mx(
 
 @qarray_dataclass
 class NVFP4Array(QuantizedArray):
-    """NVFP4: fp4_e2m1 elements, fp8_e4m3 scales per 16-block (reference
-    ``NVFP4InferenceConfig``, ``inference_workflow.py:130``)."""
+    """NVFP4: fp4_e2m1 elements (bit-packed 2-per-byte), fp8_e4m3 scales
+    per 16-block (reference ``NVFP4InferenceConfig``,
+    ``inference_workflow.py:130``)."""
 
-    qdata: jnp.ndarray
+    qdata: jnp.ndarray  # packed fp4 codes, [..., K/2] uint8
     scale: jnp.ndarray  # fp8 e4m3 per-16 block scales
     block_size: int = static_field(default=16)
     activation_dtype: str = static_field(default="bfloat16")
 
     @property
     def shape(self):
-        return self.qdata.shape
+        lead = self.scale.shape[:-1]
+        return tuple(lead) + (self.scale.shape[-1] * self.block_size,)
 
     def dequantize(self, output_dtype=None):
         if output_dtype is None:
             output_dtype = self.dtype
+        codes = unpack_uintx([self.qdata], 4, self.shape[-1], axis=-1)
+        vals = exmy_decode(codes, 2, 1)
         s = jnp.repeat(
             self.scale.astype(jnp.float32), self.block_size, axis=-1
         )
-        return (self.qdata.astype(jnp.float32) * s).astype(output_dtype)
+        return (vals * s).astype(output_dtype)
 
 
 def to_nvfp4(x: jnp.ndarray, block_size: int = 16) -> NVFP4Array:
@@ -134,8 +170,10 @@ def to_nvfp4(x: jnp.ndarray, block_size: int = 16) -> NVFP4Array:
     q = _round_to_exmy(
         blocks / jnp.maximum(scale_used, 1e-12)[..., None], 2, 1, 6.0
     )
+    codes = exmy_encode(q.reshape(x.shape), 2, 1)
+    (packed,) = pack_uintx(codes, 4, axis=-1)
     return NVFP4Array(
-        qdata=q.reshape(x.shape).astype(jnp.bfloat16),
+        qdata=packed,
         scale=scale_fp8,
         block_size=block_size,
         activation_dtype=str(jnp.dtype(x.dtype)),

@@ -10,7 +10,7 @@ improving low-bit quantization.
   adjacent linears, then rotate the residual basis by R1 [D, D]:
     embeddings      E' = E·R1
     norm weights    folded to ones (absorbed into consuming linears)
-    in-projections  W' = W·R1        (wqkv, w1, w3, output head)
+    in-projections  W' = W·R1        (wqkv, w13, output head)
     out-projections W' = R1ᵀ·W       (wo, w2)
 - **R2** (head-dim v/o rotation, offline): a [Dh, Dh] rotation of each
   value head. Attention mixes value vectors linearly with softmax
@@ -167,8 +167,7 @@ def apply_spinquant(
         "layers": {
             "attention": {"wqkv": wqkv, "wo": wo},
             "feed_forward": {
-                "w1": in_proj(layers["feed_forward"]["w1"], ffn_norm),
-                "w3": in_proj(layers["feed_forward"]["w3"], ffn_norm),
+                "w13": in_proj(layers["feed_forward"]["w13"], ffn_norm),
                 "w2": w2,
             },
             "attention_norm": {

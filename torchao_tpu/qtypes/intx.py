@@ -151,6 +151,11 @@ class IntxArray(QuantizedArray):
     # chunk) so the merged-DMA decode kernel reads ONE qparams stream
     # per grid step. None = family-major rows.
     qparams_eff_chunk: Optional[int] = static_field(default=None)
+    # TILED_NIBBLES bytes stored pre-XORed with 0x80: the decode
+    # kernel's high-nibble rebias ``b' = byte ^ 0x80`` becomes a free
+    # bitcast ((b'&0xF) == (byte&0xF), so the low nibble is unchanged) —
+    # halves the per-byte VPU unpack work on the weight stream.
+    nibbles_xored: bool = static_field(default=False)
 
     # --- pytree-facing ----------------------------------------------------
     @property
@@ -244,6 +249,7 @@ class IntxArray(QuantizedArray):
             if quant_min != 0:
                 qdata = (qdata.astype(jnp.int32) - quant_min)
             qdata = pack_int4(qdata.astype(jnp.uint8), axis=-1)
+            qdata = qdata ^ jnp.uint8(0x80)  # see nibbles_xored
             qdata = jnp.swapaxes(qdata, -1, -2)
             # full-K groups give rank-(n-1) qparams; normalize to
             # [..., N, 1] before transposing to K-major [..., 1, N]
@@ -288,6 +294,9 @@ class IntxArray(QuantizedArray):
             activation_dtype=str(jnp.dtype(w.dtype)),
             qparams_eff=qparams_eff,
             qparams_eff_chunk=qparams_eff_chunk,
+            nibbles_xored=(
+                packing_format is PackingFormat.TILED_NIBBLES
+            ),
         )
 
     # --- slicing (TP / serving weight loading) -----------------------------
@@ -336,6 +345,43 @@ class IntxArray(QuantizedArray):
             logical_shape=tuple(ls),
         )
 
+    @classmethod
+    def concat_out_features(cls, parts) -> "IntxArray":
+        """Concatenate along out-features (N) — the inverse of
+        :meth:`slice_out_features`, used by merged-projection init
+        (w13 = [w1; w3]) and vLLM-style shard assembly."""
+        import dataclasses as _dc
+
+        a = parts[0]
+        assert all(
+            p.packing_format is a.packing_format for p in parts
+        )
+        if a.packing_format is PackingFormat.TILED_NIBBLES:
+            axis = -1  # K-major: N is the last axis of every leaf
+            kw = {
+                name: jnp.concatenate(
+                    [getattr(p, name) for p in parts], axis=axis
+                )
+                for name in ("qdata", "scale", "zero_point", "qparams_eff")
+                if getattr(a, name) is not None
+            }
+        else:
+            assert a.packing_format is PackingFormat.PLAIN
+            kw = {"qdata": jnp.concatenate(
+                [p.qdata for p in parts], axis=-2
+            )}
+            for name in ("scale", "zero_point"):
+                v = getattr(a, name)
+                if v is None:
+                    continue
+                axis = -2 if v.ndim == a.qdata.ndim else -1
+                kw[name] = jnp.concatenate(
+                    [getattr(p, name) for p in parts], axis=axis
+                )
+        ls = list(a.shape)
+        ls[-2] = sum(p.shape[-2] for p in parts)
+        return _dc.replace(a, logical_shape=tuple(ls), **kw)
+
     # --- unpack / dequantize ----------------------------------------------
     def unpacked_qdata(self) -> jnp.ndarray:
         """qdata with packing undone — integer values in the target dtype's
@@ -364,7 +410,10 @@ class IntxArray(QuantizedArray):
             if self.quant_min != 0:
                 q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)
             return q
-        q = unpack_int4(jnp.swapaxes(self.qdata, -1, -2), axis=-1)
+        qd = self.qdata
+        if self.nibbles_xored:
+            qd = qd ^ jnp.uint8(0x80)
+        q = unpack_int4(jnp.swapaxes(qd, -1, -2), axis=-1)
         if self.quant_min != 0:
             q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)
         return q

@@ -164,7 +164,8 @@ def gptq_quantize_int4(
     from torchao_tpu.qtypes.intx import _tiled_eff_qparams_chunked
 
     qdata = jnp.swapaxes(
-        pack_int4(Q.astype(jnp.uint8), axis=-1), -1, -2
+        pack_int4(Q.astype(jnp.uint8), axis=-1) ^ jnp.uint8(0x80),
+        -1, -2,
     )
     scale_t = jnp.swapaxes(scales.astype(scale_dtype), -1, -2)
     zero_t = jnp.swapaxes(zeros.astype(scale_dtype), -1, -2)
@@ -185,4 +186,5 @@ def gptq_quantize_int4(
         activation_dtype=str(jnp.dtype(W.dtype)),
         qparams_eff=qe,
         qparams_eff_chunk=qchunk,
+        nibbles_xored=True,
     )

@@ -108,10 +108,9 @@ def gptq_quantize_llama(
 
         h_ffn = rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps)
         H_w13 = accumulate_hessian(None, h_ffn)
-        q_w1 = gptq_quantize_int4(fw["w1"], H_w13, group_size)
-        q_w3 = gptq_quantize_int4(fw["w3"], H_w13, group_size)
-        h1 = h_ffn @ q_w1.dequantize(jnp.float32).astype(x.dtype).T
-        h3 = h_ffn @ q_w3.dequantize(jnp.float32).astype(x.dtype).T
+        q_w13 = gptq_quantize_int4(fw["w13"], H_w13, group_size)
+        h13 = h_ffn @ q_w13.dequantize(jnp.float32).astype(x.dtype).T
+        h1, h3 = jnp.split(h13, 2, axis=-1)
         inner = jax.nn.silu(h1) * h3
         H_w2 = accumulate_hessian(None, inner)
         q_w2 = gptq_quantize_int4(fw["w2"], H_w2, group_size)
@@ -120,7 +119,7 @@ def gptq_quantize_llama(
         new_layers.append(
             {
                 "attention": {"wqkv": q_wqkv, "wo": q_wo},
-                "feed_forward": {"w1": q_w1, "w3": q_w3, "w2": q_w2},
+                "feed_forward": {"w13": q_w13, "w2": q_w2},
                 "attention_norm": lw["attention_norm"],
                 "ffn_norm": lw["ffn_norm"],
             }

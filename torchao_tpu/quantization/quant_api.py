@@ -319,7 +319,9 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
             block_size[-1],
         )
         return _I(
-            qdata=jnp.swapaxes(qp_pack_uint4(q), -1, -2),
+            qdata=jnp.swapaxes(
+                qp_pack_uint4(q) ^ jnp.uint8(0x80), -1, -2
+            ),
             scale=scale_t,
             zero_point=zero_t,
             block_size=block_size,
@@ -332,6 +334,7 @@ def _int4_weight_only_transform(w: jnp.ndarray, config: Int4WeightOnlyConfig):
             activation_dtype=str(jnp.dtype(w.dtype)),
             qparams_eff=qe,
             qparams_eff_chunk=qchunk,
+            nibbles_xored=True,
         )
     return IntxArray.from_hp(
         w,

@@ -57,6 +57,8 @@ __all__ = [
     "choose_qparams_affine_floatx",
     "quantize_affine_floatx",
     "dequantize_affine_floatx",
+    "exmy_encode",
+    "exmy_decode",
     "quantize_activation_per_token_absmax",
     "per_token_block_size",
     "round_ste",
@@ -912,6 +914,53 @@ def dequantize_affine_floatx(
     return (
         values.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]
     ).astype(output_dtype)
+
+
+def exmy_encode(
+    values: jnp.ndarray, ebits: int, mbits: int
+) -> jnp.ndarray:
+    """Exact ExMy bit codes (uint8: sign | exp | mantissa) for values
+    already ON the ExMy grid (the output of ``quantize_affine_floatx``).
+
+    This is the storage half of the reference's fp6-LLM bit-packing
+    (``csrc/cuda/fp6_llm/``, ``floatx_tensor_core_layout.py:457``): a
+    (1+ebits+mbits)-bit code per element, laid out TPU-first via
+    ``qtypes.packing.pack_uintx`` bit shards instead of the GPU's
+    tensor-core bit-interleave."""
+    exp_bias = 2 ** (ebits - 1) - 1
+    v = values.astype(jnp.float32)
+    sign = (v < 0).astype(jnp.int32)
+    mag = jnp.abs(v)
+    # normal exponent, clamped to the format's range
+    e_unb = jnp.floor(jnp.log2(jnp.maximum(mag, 1e-45)))
+    e_unb = jnp.clip(e_unb, 1 - exp_bias, 2 ** ebits - 1 - exp_bias)
+    is_sub = mag < 2.0 ** (1 - exp_bias)
+    E = jnp.where(is_sub, 0, e_unb.astype(jnp.int32) + exp_bias)
+    M_norm = jnp.round(
+        (mag / jnp.exp2(e_unb) - 1.0) * 2.0 ** mbits
+    ).astype(jnp.int32)
+    M_sub = jnp.round(
+        mag * 2.0 ** (exp_bias - 1 + mbits)
+    ).astype(jnp.int32)
+    M = jnp.clip(jnp.where(is_sub, M_sub, M_norm), 0, 2 ** mbits - 1)
+    code = (sign << (ebits + mbits)) | (E << mbits) | M
+    return code.astype(jnp.uint8)
+
+
+def exmy_decode(
+    codes: jnp.ndarray, ebits: int, mbits: int
+) -> jnp.ndarray:
+    """Inverse of :func:`exmy_encode`: uint8 codes → fp32 grid values."""
+    exp_bias = 2 ** (ebits - 1) - 1
+    c = codes.astype(jnp.int32)
+    sign = 1.0 - 2.0 * ((c >> (ebits + mbits)) & 1).astype(jnp.float32)
+    E = (c >> mbits) & (2 ** ebits - 1)
+    M = (c & (2 ** mbits - 1)).astype(jnp.float32)
+    normal = (1.0 + M * 2.0 ** (-mbits)) * jnp.exp2(
+        (E - exp_bias).astype(jnp.float32)
+    )
+    sub = M * 2.0 ** (1 - exp_bias - mbits)
+    return sign * jnp.where(E == 0, sub, normal)
 
 
 # ---------------------------------------------------------------------------
