@@ -62,13 +62,32 @@ def _key(kernel_name: str, shape_sig: Sequence) -> str:
     return f"{kernel_name}|{dev}|{','.join(map(str, shape_sig))}"
 
 
-def _time_call(fn: Callable, iters: int = 5) -> float:
-    out = fn()
-    float(jnp.ravel(out)[0])  # sync via value fetch (PERF.md)
+def time_amortized(
+    run: Callable[[jnp.ndarray], Any], x: jnp.ndarray, iters: int = 20
+) -> float:
+    """Time ``run(x)`` with the methodology this platform requires
+    (PERF.md / bench.py): ``iters`` calls chained by a data dependency
+    inside ONE jitted ``lax.fori_loop`` (so per-dispatch tunnel RTT
+    ~1.2 ms amortizes away and XLA cannot hoist the loop-invariant
+    call), synced by a VALUE FETCH (``block_until_ready`` returns early
+    on the remote backend). Returns seconds per call."""
+
+    @jax.jit
+    def loop(x0):
+        def body(i, acc):
+            xi = (
+                x0 * (jnp.float32(1.0) + acc * 1e-30).astype(x0.dtype)
+                if jnp.issubdtype(x0.dtype, jnp.floating)
+                else x0
+            )
+            out = run(xi)
+            return acc + jnp.ravel(out)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(loop(x))  # compile + first-run sync
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    float(jnp.ravel(out)[0])
+    float(loop(x))
     return (time.perf_counter() - t0) / iters
 
 
@@ -76,28 +95,42 @@ def lookup_or_tune(
     kernel_name: str,
     shape_sig: Sequence,
     candidates: List[Dict[str, Any]],
-    run: Callable[[Dict[str, Any]], Any],
-    iters: int = 5,
+    run: Callable[..., Any],
+    iters: int = 20,
+    example_x: Optional[jnp.ndarray] = None,
 ) -> Optional[Dict[str, Any]]:
     """Returns the cached/tuned best candidate kwargs, or None when no
-    cache entry exists and tuning is disabled (caller uses heuristics)."""
+    cache entry exists and tuning is disabled (caller uses heuristics).
+
+    ``run(cfg, x)`` must be traceable so candidates can be timed with
+    :func:`time_amortized` (in-jit loop); ``example_x`` is the
+    activation operand the harness perturbs for the loop-carried data
+    dependency."""
     cache = _load_cache()
     key = _key(kernel_name, shape_sig)
     if key in cache:
         return cache[key]["config"]
-    if not autotune_enabled():
+    if not autotune_enabled() or example_x is None:
         return None
 
     best_cfg, best_t = None, None
+    results = {}
     for cfg in candidates:
         try:
-            t = _time_call(lambda: run(cfg), iters)
+            t = time_amortized(
+                lambda xi, cfg=cfg: run(cfg, xi), example_x, iters
+            )
         except Exception:
             continue
+        results[json.dumps(cfg, sort_keys=True)] = round(t * 1e6, 2)
         if best_t is None or t < best_t:
             best_cfg, best_t = cfg, t
     if best_cfg is not None:
-        cache[key] = {"config": best_cfg, "time_us": best_t * 1e6}
+        cache[key] = {
+            "config": best_cfg,
+            "time_us": round(best_t * 1e6, 2),
+            "all_us": results,
+        }
         _save_cache()
     return best_cfg
 

@@ -913,13 +913,14 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             "int4_dq_matmul",
             (xb.shape[0], N, K, group_size),
             int4_matmul_candidates(xb.shape[0], N, K, group_size),
-            lambda cfg: int4_dq_matmul(
-                xb, w.qdata, w.scale, zero,
+            lambda cfg, xi: int4_dq_matmul(
+                xi, w.qdata, w.scale, zero,
                 w.qparams_eff,
                 group_size=group_size, mid=mid,
                 layer_idx=layer_idx, qparams_chunk=qchunk,
                 xored=xorf, **cfg,
             ),
+            example_x=xb,
         )
         if tuned:
             kw = {**tuned, **kw}  # env variant override wins

@@ -160,10 +160,11 @@ def int8_scaled_matmul_available(x_q, w, layer_idx=None):
             "int8_scaled_matmul",
             (x2.shape[0], N, K),
             int8_matmul_candidates(x2.shape[0], N, K),
-            lambda cfg: int8_scaled_matmul(
-                x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
+            lambda cfg, xi: int8_scaled_matmul(
+                xi, w_arr.qdata, x_scale.reshape(-1), w_scale,
                 out_dtype=out_hp_dtype, layer_idx=layer_idx, **cfg,
             ),
+            example_x=x2,
         ) or {}
         out = int8_scaled_matmul(
             x2, w_arr.qdata, x_scale.reshape(-1), w_scale,
