@@ -113,6 +113,7 @@ def _kernel(
 ):
     s = pl.program_id(0)
     bg = bkp // g
+    bm = x3_ref.shape[1]
     phase1 = s < S1
 
     @pl.when(phase1)
@@ -157,12 +158,12 @@ def _kernel(
         half_blocks = bn // bkp              # act-chunk blocks per row
 
         def fold_block(flat_row0):
-            """[bg, 1, g] bf16 group-fold of act logical rows
+            """[bg, bm, g] bf16 group-fold of act logical rows
             [flat_row0, flat_row0 + bkp) — placement-matmul layout
-            change (no sub-128 reshape)."""
+            change (no sub-128 reshape, batched over bm)."""
             c = flat_row0 // bn
             off = flat_row0 % bn
-            chunk = act_ref[pl.ds(c, 1)][0]          # [1, bn] f32
+            chunk = act_ref[pl.ds(c, 1)][0]          # [bm, bn] f32
             # static halves + select (dynamic lane slicing avoided)
             parts = [
                 chunk[:, i * bkp:(i + 1) * bkp]
@@ -171,13 +172,13 @@ def _kernel(
             a = parts[0]
             for i in range(1, half_blocks):
                 a = jnp.where(off == i * bkp, parts[i], a)
-            a_t = jnp.transpose(a)                    # [bkp, 1] f32
-            xt = a_t * ind                            # [bkp, g]
+            a_t = jnp.transpose(a)                    # [bkp, bm] f32
+            xt = a_t[:, :, None] * ind[:, None, :]    # [bkp, bm, g]
             fold = jax.lax.dot_general(
                 Lm, xt, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                         # [bg, g]
-            return fold[:, None, :].astype(jnp.bfloat16)
+            )                                         # [bg, bm, g]
+            return fold.astype(jnp.bfloat16)
 
         Kp2 = nk2 * bkp
         xlo = fold_block(k2 * bkp)
@@ -207,13 +208,13 @@ def ffn_int4_fused(
     layer_idx,
     *,
     group_size: int,
-    bn: int = 2048,
+    bn: Optional[int] = None,
     bkp: int = 1024,
     interpret: bool = False,
     xored: bool = True,
 ) -> jnp.ndarray:
     M, K1 = x.shape
-    assert M == 1, "decode megakernel is M == 1 (see module docstring)"
+    assert M <= 8, "decode megakernel is M <= 8 (see module docstring)"
     L, Kp1, N13 = w13.shape
     _, Kp2, N2 = w2.shape
     g = group_size
@@ -222,6 +223,10 @@ def ffn_int4_fused(
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     nG1 = Kp1 // g
 
+    if bn is None:
+        # bm > 1 partials ([bg, 2bm, bn] f32) + double-buffered operand
+        # windows must stay under the 16 MB scoped-VMEM cap
+        bn = 2048 if M == 1 else 1024
     bn = min(bn, min(N13, N2))
     assert (
         Kp1 % bkp == 0 and Kp2 % bkp == 0
@@ -235,7 +240,7 @@ def ffn_int4_fused(
     S = S1 + nk2 * nj2
     bg = bkp // g
 
-    x3 = x.reshape(1, 2 * nG1, g).transpose(1, 0, 2)   # [2nG1, 1, g]
+    x3 = x.reshape(M, 2 * nG1, g).transpose(1, 0, 2)   # [2nG1, M, g]
     lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
 
     def w13_map(s, l):
@@ -260,23 +265,23 @@ def ffn_int4_fused(
         num_scalar_prefetch=1,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((2 * nG1, 1, g), lambda s, l: (0, 0, 0)),
+            pl.BlockSpec((2 * nG1, M, g), lambda s, l: (0, 0, 0)),
             pl.BlockSpec((1, bkp, bn), w13_map),
             pl.BlockSpec((1, 4 * bg, bn), w13_map),
             pl.BlockSpec((1, bkp, bn), w2_map),
             pl.BlockSpec((1, 4 * bg, bn), w2_map),
         ],
-        out_specs=pl.BlockSpec((1, bn), out_map),
+        out_specs=pl.BlockSpec((M, bn), out_map),
         scratch_shapes=[
-            pltpu.VMEM((1, bn), jnp.float32),
-            pltpu.VMEM((nj1, 1, bn), jnp.float32),
-            pltpu.VMEM((nj1 // 2, 1, bn), jnp.float32),
+            pltpu.VMEM((M, bn), jnp.float32),
+            pltpu.VMEM((nj1, M, bn), jnp.float32),
+            pltpu.VMEM((nj1 // 2, M, bn), jnp.float32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, N2), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, N2), x.dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -308,7 +313,8 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
         return None
     import math as _math
 
-    if x.ndim < 2 or _math.prod(x.shape[:-1]) != 1:
+    M = _math.prod(x.shape[:-1]) if x.ndim >= 2 else 0
+    if M < 1 or M > 8:
         return None
     for w in (w13, w2):
         if not isinstance(w, IntxArray):
@@ -330,7 +336,7 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
     _, Kp1, N13 = w13.qdata.shape
     _, Kp2, N2 = w2.qdata.shape
     I = N13 // 2
-    bn = 2048
+    bn = 2048 if M == 1 else 1024
     if not (
         Kp1 % bkp == 0 and Kp2 % bkp == 0 and Kp2 * 2 == I
         and N13 % bn == 0 and N2 % bn == 0 and I % bn == 0
@@ -338,7 +344,7 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
         return None
 
     def impl(x, w13, w2):
-        xb = x.reshape(1, -1)
+        xb = x.reshape(M, -1)
         out = ffn_int4_fused(
             xb, w13.qdata, w13.qparams_eff, w2.qdata, w2.qparams_eff,
             layer_idx, group_size=g, bn=bn, bkp=bkp,
