@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--greedy-selfcheck", action="store_true")
+    ap.add_argument(
+        "--identical-draft", action="store_true",
+        help="draft = the TARGET model itself (same params). Greedy "
+        "acceptance is ~1.0 (modulo bf16 tall-skinny-verify tie flips), "
+        "so t_spec/t_van bounds the machinery overhead per accepted "
+        "token: every gain from a cheaper real draft comes on top.",
+    )
     args = ap.parse_args()
 
     from torchao_tpu.quantization.quant_api import (
@@ -82,10 +89,15 @@ def main():
         )
         name = args.model
 
-    dargs = dataclasses.replace(margs)
-    dargs.n_layer = max(1, args.draft_layers)
-    draft = Transformer(dargs, dtype=jnp.bfloat16)
-    if args.small:
+    if args.identical_draft:
+        dargs, draft, dparams = margs, model, params
+    else:
+        dargs = dataclasses.replace(margs)
+        dargs.n_layer = max(1, args.draft_layers)
+        draft = Transformer(dargs, dtype=jnp.bfloat16)
+    if args.identical_draft:
+        pass
+    elif args.small:
         dparams = quantize_(
             draft.init_params(jax.random.PRNGKey(1)),
             Int4WeightOnlyConfig(group_size=32),
@@ -108,8 +120,9 @@ def main():
         ),
         jnp.int32,
     )
-    temperature = 0.0 if args.greedy_selfcheck else 0.6
-    top_k = None if args.greedy_selfcheck else 200
+    greedy = args.greedy_selfcheck or args.identical_draft
+    temperature = 0.0 if greedy else 0.6
+    top_k = None if greedy else 200
 
     def run_spec():
         t0 = time.perf_counter()
@@ -145,6 +158,7 @@ def main():
     print(json.dumps({
         "metric": "speculative_decode_tok_s",
         "model": name,
+        "identical_draft": args.identical_draft,
         "draft_layers": dargs.n_layer,
         "spec_k": args.spec_k,
         "new_tokens": args.new_tokens,

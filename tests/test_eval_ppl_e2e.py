@@ -35,14 +35,22 @@ from torchao_tpu.testing.synthetic import markov_corpus, train_tiny_llama
 
 @pytest.fixture(scope="module")
 def trained():
+    import optax
+
     model = Transformer.from_name("tiny-debug", dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))
-    toks, theo_ppl = markov_corpus(0, 256, 16000)
-    train = toks[:13000]
+    # 64k tokens + cosine-decayed 400 steps: trains to ppl ~3.8 vs the
+    # chain's theoretical 3.46, so quantization deltas are real signal.
+    # (A 16k corpus overfits past ~300 steps and leaves the model at
+    # ppl ~9.5, where the GPTQ-vs-RTN ordering is seed noise — measured
+    # both orderings across retrains, PERF.md round-2 notes.)
+    toks, theo_ppl = markov_corpus(0, 256, 64000)
+    train = toks[:60000]
     params, _ = train_tiny_llama(
-        model, params, train, steps=300, seq_len=64, batch=16
+        model, params, train, steps=400, seq_len=64, batch=16,
+        lr=optax.cosine_decay_schedule(3e-3, 400),
     )
-    return model, params, train, toks[13000:], theo_ppl
+    return model, params, train, toks[60000:], theo_ppl
 
 
 def test_ppl_ordering_bf16_gptq_rtn(trained):
@@ -57,7 +65,7 @@ def test_ppl_ordering_bf16_gptq_rtn(trained):
     ppl_rtn = evaluate_ppl(model, rtn, test, seq_len=64)
 
     # calibrate on TRAIN windows (no eval leakage)
-    calib = np.stack([train[i * 64 : (i + 1) * 64] for i in range(16)])
+    calib = np.stack([train[i * 64 : (i + 1) * 64] for i in range(32)])
     gptq = gptq_quantize_llama(
         model, params, jnp.asarray(calib), group_size=32
     )

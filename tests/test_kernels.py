@@ -205,26 +205,41 @@ class TestAutotune:
         monkeypatch.setenv("TORCHAO_TPU_AUTOTUNE", "1")
         at._cache = None  # reset module cache
 
-        calls = []
+        traces = []
 
-        def run(cfg):
-            calls.append(cfg)
-            # pretend bigger bn is faster by sleeping less
-            import time
+        def run(cfg, xi):
+            # run() must be TRACEABLE (it is timed inside one jitted
+            # fori_loop — time_amortized); make bn=512 do far less work
+            # so the argmin is robust on any backend
+            traces.append(cfg)
+            y = xi
+            reps = 1 if cfg["bn"] == 512 else 60
+            for _ in range(reps):
+                y = y @ y
+            return y
 
-            time.sleep(0.001 if cfg["bn"] == 512 else 0.003)
-            return jnp.zeros((2, 2))
-
+        x = jnp.eye(256, dtype=jnp.float32)
         cands = [{"bn": 256}, {"bn": 512}]
-        best = at.lookup_or_tune("k", (8, 128, 128, 32), cands, run, iters=2)
+        best = at.lookup_or_tune(
+            "k", (8, 128, 128, 32), cands, run, iters=3, example_x=x
+        )
         assert best == {"bn": 512}
-        n_calls = len(calls)
+        n_traces = len(traces)
 
-        # second lookup hits the JSON cache — no timing calls
+        # second lookup hits the JSON cache — no re-timing (run never
+        # re-traced), even with a fresh in-memory cache
         at._cache = None
-        best2 = at.lookup_or_tune("k", (8, 128, 128, 32), cands, run, iters=2)
+        best2 = at.lookup_or_tune(
+            "k", (8, 128, 128, 32), cands, run, iters=3, example_x=x
+        )
         assert best2 == {"bn": 512}
-        assert len(calls) == n_calls
+        assert len(traces) == n_traces
+
+        # without example_x and with no cache entry: heuristics (None)
+        at._cache = None
+        assert (
+            at.lookup_or_tune("k2", (1, 2), cands, run, iters=2) is None
+        )
 
     def test_disabled_returns_none(self, tmp_path, monkeypatch):
         from torchao_tpu.kernels import autotune as at

@@ -18,12 +18,16 @@ Mechanism: a single 1-D sequential grid with two phases.
   revolving-window pipeline fetches them once and never again.
 - Transition (step ``S1-1``): ``act = silu(h1)·h3`` computed in VMEM
   (h1 = first half of N13 columns, h3 = second half — the merged-w13
-  storage convention of ``models/llama``).
-- Phase 2: ``act @ w2`` with the same batched-int8 math; the grouped
-  [bg, 1, g] activation blocks are built IN-KERNEL from the flat act
-  scratch with a placement matmul (transpose to sublane-major + an
-  indicator-matrix dot — Mosaic forbids sub-128-minor reshapes, i1 mask
-  vectors, and sub-i32 shifts; this construction uses none of them).
+  storage convention of ``models/llama``), then group-folded ONCE into
+  a resident ``[2·nG2, bm, g]`` scratch with static-offset placement
+  matmuls (transpose to sublane-major + an indicator-matrix dot —
+  Mosaic forbids sub-128-minor reshapes, i1 mask vectors, and sub-i32
+  shifts; this construction uses none of them).
+- Phase 2: ``act @ w2`` with the same batched-int8 math; each step just
+  slices its ``[bg, bm, g]`` slab from the grouped scratch — exactly
+  the phase-1 x3 access pattern. (Folding per step instead duplicated
+  the layout work nj2× and serialized it against the MXU loop:
+  99.8 vs 128 tok/s e2e on the 8B headline.)
   ``w13`` index maps freeze at their last phase-1 block.
 
 Decode-shaped (M == 1) only; larger M falls back to two kernel calls.
@@ -106,7 +110,9 @@ def _kernel(
     out_ref,     # [1, bn] block of [1, N2]
     acc_ref,     # VMEM [1, bn] f32 (shared by both phases)
     h13_ref,     # VMEM [nj1, 1, bn] f32
-    act_ref,     # VMEM [nj1//2, 1, bn] f32
+    act3_ref,    # VMEM [2·nG2, bm, g] bf16 — GROUPED activations,
+    #   written once at the phase transition (same layout as phase 1's
+    #   resident x3 operand), so phase-2 steps just slice it
     *,
     S1: int, nk1: int, nj1: int, nk2: int, nj2: int,
     g: int, bkp: int, bn: int, nG1: int, xored: bool,
@@ -139,11 +145,47 @@ def _kernel(
 
     @pl.when(s == S1 - 1)
     def _act():
-        h = h13_ref[:]                       # [nj1, 1, bn] f32
+        # one-time group-fold of the WHOLE activation into the phase-1
+        # x3 layout. Block offsets are STATIC here (python loop), so
+        # each fold is a static lane slice + transpose + one placement
+        # matmul — vs the earlier per-phase-2-step dynamic folds, which
+        # redid this work nj2 times per block and serialized it with
+        # the MXU loop (e2e: 99.8 tok/s vs 128 baseline — the
+        # megakernel's round-1 regression).
+        # VMEM discipline (bn=2048 fits the 16 MB scoped budget by
+        # ~2 MB only with all three): silu is computed CHUNK-WISE per
+        # fold block (no [nh, bm, bn] materialization), fold dots stay
+        # f32 but 2-D when bm == 1 (3-D [bkp, 1, g] temps pad minor
+        # dims (1, g) → (8, 128)), and act3 is stored 2-D for bm == 1.
+        ind, Lm = _indicators(bkp, g)
         nh = nj1 // 2
-        h1 = h[:nh]
-        h3 = h[nh:]
-        act_ref[:] = (h1 * jax.nn.sigmoid(h1)) * h3
+        bgf = bkp // g
+        for b in range(2 * nk2):
+            flat_row0 = b * bkp
+            c, off = flat_row0 // bn, (flat_row0 % bn) // bkp
+            h1c = h13_ref[pl.ds(c, 1)][0]             # [bm, bn] f32
+            h3c = h13_ref[pl.ds(nh + c, 1)][0]
+            actc = (h1c * jax.nn.sigmoid(h1c)) * h3c
+            a = actc[:, off * bkp:(off + 1) * bkp]    # [bm, bkp] f32
+            a_t = jnp.transpose(a)                    # [bkp, bm] f32
+            if bm == 1:
+                xt2 = a_t * ind                       # [bkp, g] f32
+                fold2 = jax.lax.dot_general(
+                    Lm, xt2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                     # [bg, g] f32
+                act3_ref[pl.ds(b * bgf, bgf)] = fold2.astype(
+                    jnp.bfloat16
+                )
+            else:
+                xt = a_t[:, :, None] * ind[:, None, :]  # [bkp, bm, g]
+                fold = jax.lax.dot_general(
+                    Lm, xt, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                     # [bg, bm, g]
+                act3_ref[pl.ds(b * bgf, bgf)] = fold.astype(
+                    jnp.bfloat16
+                )
 
     @pl.when(jnp.logical_not(phase1))
     def _p2():
@@ -154,35 +196,18 @@ def _kernel(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        ind, Lm = _indicators(bkp, g)
-        half_blocks = bn // bkp              # act-chunk blocks per row
-
-        def fold_block(flat_row0):
-            """[bg, bm, g] bf16 group-fold of act logical rows
-            [flat_row0, flat_row0 + bkp) — placement-matmul layout
-            change (no sub-128 reshape, batched over bm)."""
-            c = flat_row0 // bn
-            off = flat_row0 % bn
-            chunk = act_ref[pl.ds(c, 1)][0]          # [bm, bn] f32
-            # static halves + select (dynamic lane slicing avoided)
-            parts = [
-                chunk[:, i * bkp:(i + 1) * bkp]
-                for i in range(half_blocks)
-            ]
-            a = parts[0]
-            for i in range(1, half_blocks):
-                a = jnp.where(off == i * bkp, parts[i], a)
-            a_t = jnp.transpose(a)                    # [bkp, bm] f32
-            xt = a_t[:, :, None] * ind[:, None, :]    # [bkp, bm, g]
-            fold = jax.lax.dot_general(
-                Lm, xt, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                         # [bg, bm, g]
-            return fold.astype(jnp.bfloat16)
-
-        Kp2 = nk2 * bkp
-        xlo = fold_block(k2 * bkp)
-        xhi = fold_block(Kp2 + k2 * bkp)
+        if bm == 1:
+            # act3 is 2-D [2·nG2, g]; widen to f32 for the minor-dim
+            # insertion (Mosaic: 32-bit only), back to bf16 for the dot
+            xlo = act3_ref[pl.ds(k2 * bg, bg)].astype(jnp.float32)[
+                :, None, :
+            ].astype(jnp.bfloat16)
+            xhi = act3_ref[pl.ds((nk2 + k2) * bg, bg)].astype(
+                jnp.float32
+            )[:, None, :].astype(jnp.bfloat16)
+        else:
+            xlo = act3_ref[pl.ds(k2 * bg, bg)]
+            xhi = act3_ref[pl.ds((nk2 + k2) * bg, bg)]
         qp = qp2_ref[0]
         _group_dot(
             acc_ref, xlo, xhi, w2_ref[0],
@@ -224,8 +249,11 @@ def ffn_int4_fused(
     nG1 = Kp1 // g
 
     if bn is None:
-        # bm > 1 partials ([bg, 2bm, bn] f32) + double-buffered operand
-        # windows must stay under the 16 MB scoped-VMEM cap
+        # operand windows (2× double-buffered w13/qp13/w2/qp2) + the
+        # padded transition-fold temporaries must stay under the 16 MB
+        # scoped-VMEM cap: M == 1 fits bn=2048 with the 2-D folds
+        # (bn=1024 measured 117.3 vs 128.2 tok/s e2e — smaller DMA
+        # windows stream worse); bm > 1 keeps 1024 (3-D fold temps)
         bn = 2048 if M == 1 else 1024
     bn = min(bn, min(N13, N2))
     assert (
@@ -275,7 +303,13 @@ def ffn_int4_fused(
         scratch_shapes=[
             pltpu.VMEM((M, bn), jnp.float32),
             pltpu.VMEM((nj1, M, bn), jnp.float32),
-            pltpu.VMEM((nj1 // 2, M, bn), jnp.float32),
+            # 2-D for M == 1: the [rows, 1, g] form pads (1, g) →
+            # (8, 128), 8× the bytes
+            pltpu.VMEM(
+                (2 * (Kp2 // g), g) if M == 1
+                else (2 * (Kp2 // g), M, g),
+                jnp.bfloat16,
+            ),
         ],
     )
     return pl.pallas_call(
