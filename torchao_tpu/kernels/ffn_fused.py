@@ -157,9 +157,42 @@ def _kernel(
         # fold block (no [nh, bm, bn] materialization), fold dots stay
         # f32 but 2-D when bm == 1 (3-D [bkp, 1, g] temps pad minor
         # dims (1, g) → (8, 128)), and act3 is stored 2-D for bm == 1.
-        ind, Lm = _indicators(bkp, g)
         nh = nj1 // 2
         bgf = bkp // g
+        gpr = 128 // g                # quant groups per 128-lane row
+        if bm == 1:
+            # lane-legal fold, tiny operands: [1, bkp] → [bkp/128, 128]
+            # (minor stays 128 — the ONE legal minor-split), then
+            # P [bg, bkp/128] expands rows and gpr masked Q-matmuls
+            # place each 32-lane group slice. Every temp is ≤ [bg, 128]
+            # — the earlier transpose+indicator fold built [bkp, ·]
+            # temps that padded to 512 KB each and kept the scoped-VMEM
+            # allocation 1.6 MB over budget at bn=2048.
+            rP = jax.lax.broadcasted_iota(
+                jnp.int32, (bgf, bkp // 128), 0
+            )
+            cP = jax.lax.broadcasted_iota(
+                jnp.int32, (bgf, bkp // 128), 1
+            )
+            dP = (rP // gpr) - cP
+            P = (1 - jnp.minimum(dP * dP, 1)).astype(jnp.float32)
+            gsel = rP[:, :1] % gpr                   # [bg, 1]
+            rQ = jax.lax.broadcasted_iota(jnp.int32, (128, g), 0)
+            cQ = jax.lax.broadcasted_iota(jnp.int32, (128, g), 1)
+            Qs = [
+                (
+                    1 - jnp.minimum((rQ - (m * g + cQ)) ** 2, 1)
+                ).astype(jnp.float32)
+                for m in range(gpr)
+            ]
+            sels = [
+                (1 - jnp.minimum((gsel - m) ** 2, 1)).astype(
+                    jnp.float32
+                )
+                for m in range(gpr)
+            ]
+        else:
+            ind, Lm = _indicators(bkp, g)
         for b in range(2 * nk2):
             flat_row0 = b * bkp
             c, off = flat_row0 // bn, (flat_row0 % bn) // bkp
@@ -167,17 +200,24 @@ def _kernel(
             h3c = h13_ref[pl.ds(nh + c, 1)][0]
             actc = (h1c * jax.nn.sigmoid(h1c)) * h3c
             a = actc[:, off * bkp:(off + 1) * bkp]    # [bm, bkp] f32
-            a_t = jnp.transpose(a)                    # [bkp, bm] f32
             if bm == 1:
-                xt2 = a_t * ind                       # [bkp, g] f32
-                fold2 = jax.lax.dot_general(
-                    Lm, xt2, (((0,), (0,)), ((), ())),
+                a_rs = a.reshape(bkp // 128, 128)
+                out1 = jax.lax.dot_general(
+                    P, a_rs, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                     # [bg, g] f32
+                )                                     # [bg, 128]
+                fold2 = jnp.zeros((bgf, g), jnp.float32)
+                for m in range(gpr):
+                    fold2 = fold2 + jax.lax.dot_general(
+                        out1 * sels[m], Qs[m],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 act3_ref[pl.ds(b * bgf, bgf)] = fold2.astype(
                     jnp.bfloat16
                 )
             else:
+                a_t = jnp.transpose(a)                # [bkp, bm] f32
                 xt = a_t[:, :, None] * ind[:, None, :]  # [bkp, bm, g]
                 fold = jax.lax.dot_general(
                     Lm, xt, (((0,), (0,)), ((), ())),
@@ -364,6 +404,8 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
     g = w13.block_size[-1]
     if w2.block_size[-1] != g:
         return None
+    if 128 % g != 0:
+        return None  # the M == 1 lane-legal fold needs g | 128
     bkp = w13.qparams_eff_chunk * g
     if bkp != 1024:
         return None
