@@ -388,7 +388,14 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
     import math as _math
 
     M = _math.prod(x.shape[:-1]) if x.ndim >= 2 else 0
-    if M < 1 or M > 8:
+    if M != 1:
+        # bm > 1 transition folds are Mosaic-ILLEGAL on hw: the 3-D
+        # [bkp, bm, g] placement dot lowers to a reshape
+        # vector<1024x8x32xf32> -> vector<1024x256xf32> (minor < 128,
+        # "unsupported shape cast" — interpret mode has no such rule).
+        # Batched serving decode needs a bm-batched lane-legal fold
+        # (G-major P/Q placement); round-3 item. Two-kernel path until
+        # then.
         return None
     for w in (w13, w2):
         if not isinstance(w, IntxArray):
