@@ -17,20 +17,22 @@ Mechanism: a single 1-D sequential grid with two phases.
   operands' index maps FREEZE at block (0, 0) during this phase, so the
   revolving-window pipeline fetches them once and never again.
 - Transition (step ``S1-1``): ``act = silu(h1)·h3`` computed in VMEM
-  (h1 = first half of N13 columns, h3 = second half — the merged-w13
-  storage convention of ``models/llama``), then group-folded ONCE into
-  a resident ``[2·nG2, bm, g]`` scratch with static-offset placement
-  matmuls (transpose to sublane-major + an indicator-matrix dot —
-  Mosaic forbids sub-128-minor reshapes, i1 mask vectors, and sub-i32
-  shifts; this construction uses none of them).
-- Phase 2: ``act @ w2`` with the same batched-int8 math; each step just
-  slices its ``[bg, bm, g]`` slab from the grouped scratch — exactly
-  the phase-1 x3 access pattern. (Folding per step instead duplicated
-  the layout work nj2× and serialized it against the MXU loop:
+  chunk-wise (h1 = first half of N13 columns, h3 = second half — the
+  merged-w13 storage convention of ``models/llama``), then group-folded
+  ONCE into a resident G-major 2-D ``[2·nG2·bm, g]`` scratch with the
+  lane-legal placement construction (reshape whose minor stays 128 +
+  tiny P/Q placement matmuls — Mosaic forbids sub-128-minor reshapes,
+  i1 mask vectors, sub-i32 shifts, and the 3-D [bkp, bm, g] placement
+  dot, which lowers to a rejected shape cast; this uses none of them).
+- Phase 2: ``act @ w2`` with the same batched-int8 math; each step
+  slices a ``[bg·bm, g]`` slab from the grouped scratch and widens it
+  (at f32 — Mosaic's 32-bit rule for layout-changing ops) into the
+  phase-1 x3 operand form. (Folding per step instead duplicated the
+  layout work nj2× and serialized it against the MXU loop:
   99.8 vs 128 tok/s e2e on the 8B headline.)
   ``w13`` index maps freeze at their last phase-1 block.
 
-Decode-shaped (M == 1) only; larger M falls back to two kernel calls.
+Decode-shaped (M ≤ 8); larger M falls back to two kernel calls.
 Replaces nothing in the reference directly — its torch.compile fuses
 epilogues but cannot fuse across two ``_weight_int4pack_mm`` custom
 calls either; this is TPU-first design headroom (SURVEY.md §7).
@@ -110,9 +112,10 @@ def _kernel(
     out_ref,     # [1, bn] block of [1, N2]
     acc_ref,     # VMEM [1, bn] f32 (shared by both phases)
     h13_ref,     # VMEM [nj1, 1, bn] f32
-    act3_ref,    # VMEM [2·nG2, bm, g] bf16 — GROUPED activations,
-    #   written once at the phase transition (same layout as phase 1's
-    #   resident x3 operand), so phase-2 steps just slice it
+    act3_ref,    # VMEM [2·nG2·bm, g] bf16 — GROUPED activations,
+    #   G-major 2-D, written once at the phase transition; phase-2
+    #   steps slice a [bg·bm, g] slab and widen/reshape it into the
+    #   x3 operand form
     *,
     S1: int, nk1: int, nj1: int, nk2: int, nj2: int,
     g: int, bkp: int, bn: int, nG1: int, xored: bool,
@@ -153,46 +156,45 @@ def _kernel(
         # the MXU loop (e2e: 99.8 tok/s vs 128 baseline — the
         # megakernel's round-1 regression).
         # VMEM discipline (bn=2048 fits the 16 MB scoped budget by
-        # ~2 MB only with all three): silu is computed CHUNK-WISE per
-        # fold block (no [nh, bm, bn] materialization), fold dots stay
-        # f32 but 2-D when bm == 1 (3-D [bkp, 1, g] temps pad minor
-        # dims (1, g) → (8, 128)), and act3 is stored 2-D for bm == 1.
+        # ~2 MB only with all of these): silu is computed CHUNK-WISE
+        # per fold block (no [nh, bm, bn] materialization), fold temps
+        # stay 2-D and tiny, act3 is stored 2-D G-major.
         nh = nj1 // 2
         bgf = bkp // g
         gpr = 128 // g                # quant groups per 128-lane row
-        if bm == 1:
-            # lane-legal fold, tiny operands: [1, bkp] → [bkp/128, 128]
-            # (minor stays 128 — the ONE legal minor-split), then
-            # P [bg, bkp/128] expands rows and gpr masked Q-matmuls
-            # place each 32-lane group slice. Every temp is ≤ [bg, 128]
-            # — the earlier transpose+indicator fold built [bkp, ·]
-            # temps that padded to 512 KB each and kept the scoped-VMEM
-            # allocation 1.6 MB over budget at bn=2048.
-            rP = jax.lax.broadcasted_iota(
-                jnp.int32, (bgf, bkp // 128), 0
-            )
-            cP = jax.lax.broadcasted_iota(
-                jnp.int32, (bgf, bkp // 128), 1
-            )
-            dP = (rP // gpr) - cP
-            P = (1 - jnp.minimum(dP * dP, 1)).astype(jnp.float32)
-            gsel = rP[:, :1] % gpr                   # [bg, 1]
-            rQ = jax.lax.broadcasted_iota(jnp.int32, (128, g), 0)
-            cQ = jax.lax.broadcasted_iota(jnp.int32, (128, g), 1)
-            Qs = [
-                (
-                    1 - jnp.minimum((rQ - (m * g + cQ)) ** 2, 1)
-                ).astype(jnp.float32)
-                for m in range(gpr)
-            ]
-            sels = [
-                (1 - jnp.minimum((gsel - m) ** 2, 1)).astype(
-                    jnp.float32
-                )
-                for m in range(gpr)
-            ]
-        else:
-            ind, Lm = _indicators(bkp, g)
+        nq = bkp // 128               # 128-lane rows per bkp block
+        # lane-legal G-MAJOR fold, tiny operands, any bm:
+        # [bm, bkp] → [bm·nq, 128] (minor stays 128 — the ONE legal
+        # minor-split), then P3 [bg·bm, bm·nq] places row
+        # (G·bm + m) ← a_rs row (m·nq + G//gpr), and gpr masked
+        # Q-matmuls place each g-lane group slice. Every temp is
+        # ≤ [bg·bm, 128]. The earlier bm>1 3-D fold
+        # ([bkp, bm, g] dot) lowered to a vector<1024x8x32> →
+        # vector<1024x256> shape cast Mosaic rejects on hw; the earlier
+        # bm==1 transpose+indicator fold built [bkp, ·] temps that
+        # padded to 512 KB each and blew the scoped-VMEM budget.
+        rO = jax.lax.broadcasted_iota(
+            jnp.int32, (bgf * bm, bm * nq), 0
+        )
+        cO = jax.lax.broadcasted_iota(
+            jnp.int32, (bgf * bm, bm * nq), 1
+        )
+        Gr = rO // bm
+        src = (rO % bm) * nq + Gr // gpr
+        P3 = (1 - jnp.minimum((src - cO) ** 2, 1)).astype(jnp.float32)
+        gsel = Gr[:, :1] % gpr                       # [bg·bm, 1]
+        rQ = jax.lax.broadcasted_iota(jnp.int32, (128, g), 0)
+        cQ = jax.lax.broadcasted_iota(jnp.int32, (128, g), 1)
+        Qs = [
+            (
+                1 - jnp.minimum((rQ - (m * g + cQ)) ** 2, 1)
+            ).astype(jnp.float32)
+            for m in range(gpr)
+        ]
+        sels = [
+            (1 - jnp.minimum((gsel - m) ** 2, 1)).astype(jnp.float32)
+            for m in range(gpr)
+        ]
         for b in range(2 * nk2):
             flat_row0 = b * bkp
             c, off = flat_row0 // bn, (flat_row0 % bn) // bkp
@@ -200,32 +202,21 @@ def _kernel(
             h3c = h13_ref[pl.ds(nh + c, 1)][0]
             actc = (h1c * jax.nn.sigmoid(h1c)) * h3c
             a = actc[:, off * bkp:(off + 1) * bkp]    # [bm, bkp] f32
-            if bm == 1:
-                a_rs = a.reshape(bkp // 128, 128)
-                out1 = jax.lax.dot_general(
-                    P, a_rs, (((1,), (0,)), ((), ())),
+            a_rs = a.reshape(bm * nq, 128)
+            out1 = jax.lax.dot_general(
+                P3, a_rs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # [bg·bm, 128]
+            fold2 = jnp.zeros((bgf * bm, g), jnp.float32)
+            for m in range(gpr):
+                fold2 = fold2 + jax.lax.dot_general(
+                    out1 * sels[m], Qs[m],
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                     # [bg, 128]
-                fold2 = jnp.zeros((bgf, g), jnp.float32)
-                for m in range(gpr):
-                    fold2 = fold2 + jax.lax.dot_general(
-                        out1 * sels[m], Qs[m],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                act3_ref[pl.ds(b * bgf, bgf)] = fold2.astype(
-                    jnp.bfloat16
                 )
-            else:
-                a_t = jnp.transpose(a)                # [bkp, bm] f32
-                xt = a_t[:, :, None] * ind[:, None, :]  # [bkp, bm, g]
-                fold = jax.lax.dot_general(
-                    Lm, xt, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                     # [bg, bm, g]
-                act3_ref[pl.ds(b * bgf, bgf)] = fold.astype(
-                    jnp.bfloat16
-                )
+            act3_ref[pl.ds(b * bgf * bm, bgf * bm)] = fold2.astype(
+                jnp.bfloat16
+            )
 
     @pl.when(jnp.logical_not(phase1))
     def _p2():
@@ -236,18 +227,17 @@ def _kernel(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        if bm == 1:
-            # act3 is 2-D [2·nG2, g]; widen to f32 for the minor-dim
-            # insertion (Mosaic: 32-bit only), back to bf16 for the dot
-            xlo = act3_ref[pl.ds(k2 * bg, bg)].astype(jnp.float32)[
-                :, None, :
-            ].astype(jnp.bfloat16)
-            xhi = act3_ref[pl.ds((nk2 + k2) * bg, bg)].astype(
-                jnp.float32
-            )[:, None, :].astype(jnp.bfloat16)
-        else:
-            xlo = act3_ref[pl.ds(k2 * bg, bg)]
-            xhi = act3_ref[pl.ds((nk2 + k2) * bg, bg)]
+        # act3 is 2-D G-major [2·nG2·bm, g]; widen to f32 for the
+        # layout-changing step (Mosaic: minor-dim insertion/reshape at
+        # 32-bit only), back to bf16 for the dot
+        def slab(row0):
+            raw = act3_ref[pl.ds(row0, bg * bm)].astype(jnp.float32)
+            if bm == 1:
+                return raw[:, None, :].astype(jnp.bfloat16)
+            return raw.reshape(bg, bm, g).astype(jnp.bfloat16)
+
+        xlo = slab(k2 * bg * bm)
+        xhi = slab((nk2 + k2) * bg * bm)
         qp = qp2_ref[0]
         _group_dot(
             acc_ref, xlo, xhi, w2_ref[0],
@@ -343,13 +333,9 @@ def ffn_int4_fused(
         scratch_shapes=[
             pltpu.VMEM((M, bn), jnp.float32),
             pltpu.VMEM((nj1, M, bn), jnp.float32),
-            # 2-D for M == 1: the [rows, 1, g] form pads (1, g) →
-            # (8, 128), 8× the bytes
-            pltpu.VMEM(
-                (2 * (Kp2 // g), g) if M == 1
-                else (2 * (Kp2 // g), M, g),
-                jnp.bfloat16,
-            ),
+            # 2-D G-major [rows·M, g]: the [rows, M, g] form pads
+            # (M, g) → (8, 128), up to 8× the bytes
+            pltpu.VMEM((2 * (Kp2 // g) * M, g), jnp.bfloat16),
         ],
     )
     return pl.pallas_call(
@@ -388,14 +374,10 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
     import math as _math
 
     M = _math.prod(x.shape[:-1]) if x.ndim >= 2 else 0
-    if M != 1:
-        # bm > 1 transition folds are Mosaic-ILLEGAL on hw: the 3-D
-        # [bkp, bm, g] placement dot lowers to a reshape
-        # vector<1024x8x32xf32> -> vector<1024x256xf32> (minor < 128,
-        # "unsupported shape cast" — interpret mode has no such rule).
-        # Batched serving decode needs a bm-batched lane-legal fold
-        # (G-major P/Q placement); round-3 item. Two-kernel path until
-        # then.
+    if M < 1 or M > 8:
+        return None
+    if M != 1 and M % 8 != 0:
+        # a_rs = a.reshape(bm*nq, 128) requires whole sublane tiles
         return None
     for w in (w13, w2):
         if not isinstance(w, IntxArray):
