@@ -365,7 +365,13 @@ def ffn_int4_fused_available(x, w13, w2, layer_idx):
     from torchao_tpu.qtypes.base import PackingFormat
     from torchao_tpu.qtypes.intx import IntxArray
 
-    if os.environ.get("TORCHAO_TPU_DISABLE_FFN_FUSED") == "1":
+    # OPT-IN: three hardware iterations put the megakernel at parity
+    # minus noise with the two-kernel w13 path on BOTH the single-
+    # stream headline (127.65 vs 128.16 tok/s) and the 8-slot serving
+    # aggregate (712.9 vs 729.2) — launch merging does not pay on this
+    # platform; the transition fold costs what the launches save
+    # (PERF.md round-2 megakernel table).
+    if os.environ.get("TORCHAO_TPU_FFN_FUSED") != "1":
         return None
     if layer_idx is None:
         return None
