@@ -46,6 +46,49 @@ def test_autoquant_marker():
     assert config_from_recipe("autoquant-int4") == ("autoquant", "autoquant-int4")
 
 
+def test_round3_recipe_strings():
+    """The remaining reference -q surface (generate.py:356-690):
+    int8dq_prefill_wo_decode, int4dq-<nbits>, embed-int8wo, spinquant,
+    awq-uintx-<n>-<g>."""
+    from torchao_tpu.quantization.quant_api import (
+        Int4DynamicActivationInt4WeightConfig,
+    )
+
+    cfg = config_from_recipe("int8dq_prefill_wo_decode")
+    assert isinstance(cfg, Int8DynamicActivationInt8WeightConfig)
+    assert cfg.weight_only_decode
+
+    assert isinstance(
+        config_from_recipe("int4dq-8"), Int8DynamicActivationInt4WeightConfig
+    )
+    assert isinstance(
+        config_from_recipe("int4dq-4"), Int4DynamicActivationInt4WeightConfig
+    )
+    assert config_from_recipe("embed-int8wo") == ("embed-int8wo",)
+    assert config_from_recipe("spinquant") == ("spinquant",)
+    assert config_from_recipe("awq-uintx-4-64") == ("awq", 4, 64, 2)
+
+
+@pytest.mark.parametrize(
+    "recipe",
+    ["int8dq_prefill_wo_decode", "int4dq-8", "embed-int8wo", "spinquant",
+     "awq-uintx-4-32-1"],
+)
+def test_cli_round3_recipes_e2e(tmp_path, recipe):
+    """Each new recipe runs end-to-end on the tiny model (CPU)."""
+    from torchao_tpu.models.llama import cli
+
+    res = cli.main([
+        "--model_name", "tiny-debug",
+        "-q", recipe,
+        "--prompt_len", "16",
+        "--max_new_tokens", "4",
+        "--num_samples", "1",
+        "--write_result", str(tmp_path / "r.txt"),
+    ])
+    assert res["tokens_per_s"] > 0
+
+
 @pytest.mark.parametrize("recipe", ["marlin", "sparse-marlin", "gemlite-4-64"])
 def test_gpu_only_recipes_raise(recipe):
     with pytest.raises(ValueError, match="TPU"):

@@ -145,3 +145,52 @@ def test_tp_decode_with_sharded_quantized_cache(setup, kv):
         np.asarray(l2, np.float32), np.asarray(r2, np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_interleaved_qkv_logit_parity(setup):
+    """Device-major wqkv interleave (aligned TP) + per-block split is
+    numerically identical to the naive section split, quantized and
+    float."""
+    from torchao_tpu.models.llama.model import ModelArgs, Transformer
+    from torchao_tpu.parallel import interleave_qkv_params
+
+    model, params, mesh = setup
+    m = 4
+    toks = jnp.asarray(
+        np.random.RandomState(1).randint(0, 512, (2, 8)), jnp.int32
+    )
+
+    margs = ModelArgs(**transformer_configs["tiny-tp"])
+    margs.qkv_device_blocks = m
+    bmodel = Transformer(margs, dtype=jnp.float32)
+
+    for config in (None, Int4WeightOnlyConfig(group_size=32)):
+        p = (
+            params if config is None
+            else quantize_(params, config, filter_fn=default_linear_filter)
+        )
+        ref, _ = model(p, toks)  # naive split, same (quantized) weights
+        ip = interleave_qkv_params(p, margs, m)
+        out, _ = bmodel(ip, toks)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
+        # sharded run too
+        sp = shard_params(ip, mesh)
+        sout, _ = jax.jit(lambda p, t: bmodel(p, t))(sp, toks)
+        np.testing.assert_allclose(
+            np.asarray(sout, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+
+
+def test_tp_decode_evidence_structure():
+    """The quantitative TP evidence harness (VERDICT r2 #7): timings
+    present, no weight all-to-alls, canonical reduction count."""
+    from torchao_tpu.parallel.evidence import tp_decode_evidence
+
+    res = tp_decode_evidence(4, steps=2, dim=256)
+    assert res["tp_timing"]["scaled_tp_step_ms"] > 0
+    assert res["hlo"]["reduction_collectives"] >= 1
+    assert "all-to-all" not in res["hlo"]["stats"]

@@ -333,6 +333,23 @@ class TestBitShards:
         bound = {2: 3, 3: 8, 5: 18, 6: 24, 7: 30}[nbits]
         assert compute_error(ref, out) > bound
 
+    def test_stacked_take_layer(self):
+        """BIT_SHARDS qdata keeps leading axes ([..., N, Σ K·bits/8]) so
+        stacked per-layer weights are layer-sliceable (take_layer under
+        the model's lax.scan — broke when shards were flattened 1-D)."""
+        import numpy as np
+
+        w = _w((2, 32, 64), seed=3, dtype=jnp.bfloat16)
+        qw = quantize_(
+            {"w": w}, UIntXWeightOnlyConfig(dtype="uint3", group_size=32),
+            filter_fn=lambda p, l: True,
+        )["w"]
+        assert qw.qdata.shape[:2] == (2, 32)
+        full = np.asarray(qw.dequantize(jnp.float32))
+        for l in range(2):
+            sl = np.asarray(qw.take_layer(l).dequantize(jnp.float32))
+            assert np.array_equal(full[l], sl)
+
 
 class TestSliceForServing:
     """The reference's vLLM weight-loading pattern

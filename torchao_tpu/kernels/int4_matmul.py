@@ -258,6 +258,92 @@ def _kernel_bint8m(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_bint8u(
+    l_ref,      # scalar prefetch: [1] int32 layer index
+    x3_ref,     # [2nG, bm, g] bf16 — full grouped x (resident)
+    u_ref,      # [1, nch·(1024 + 8·cg), bn] uint8 — the UNIFIED operand:
+                # per canonical chunk, 1024 packed-nibble rows followed
+                # by 4·cg hi-byte + 4·cg lo-byte qparam planes
+                # (qtypes.intx._unify_tiled_operand)
+    out_ref, acc_ref, *, n_k_blocks: int, n_chunks: int,
+    chunk_groups: int, xored: bool = True,
+):
+    """Single-stream variant of ``_kernel_bint8m``: identical math, but
+    weights AND kernel-form qparams arrive in ONE uint8 DMA stream per
+    grid step. The bf16 qparams are reconstructed exactly on the VPU as
+    ``bitcast((hi << 24) | (lo << 16), f32)`` — an f32 whose top 16 bits
+    are the bf16 pattern equals the bf16 value (widening is exact)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _, _, bn = u_ref.shape
+    two_ng, bm, g = x3_ref.shape
+    nG = two_ng // 2
+    cg = chunk_groups
+    crows = 1024 + 8 * cg
+
+    for c in range(n_chunks):
+        base = c * crows
+        wc = u_ref[0, pl.ds(base, 1024)]
+        lo3 = (wc & jnp.uint8(0xF)).astype(jnp.int8).reshape(cg, g, bn)
+        b3 = (wc if xored else (wc ^ jnp.uint8(0x80))).astype(
+            jnp.int8
+        ).reshape(cg, g, bn)
+
+        hi8 = u_ref[0, pl.ds(base + 1024, 4 * cg)]
+        lo8 = u_ref[0, pl.ds(base + 1024 + 4 * cg, 4 * cg)]
+        # u8→i16→i32 (Mosaic legalizes no direct u8→i32; both hops are
+        # probed-legal), shifts only at i32, then a same-width bitcast
+        hi32 = hi8.astype(jnp.int16).astype(jnp.int32)
+        lo32 = lo8.astype(jnp.int16).astype(jnp.int32)
+        qp = jax.lax.bitcast_convert_type(
+            (hi32 << 24) | (lo32 << 16), jnp.float32
+        )                                                  # [4cg, bn] f32
+        slo = qp[0:cg]
+        shi16 = qp[cg:2 * cg]
+        z2lo = qp[2 * cg:3 * cg]
+        z2hi = qp[3 * cg:4 * cg]
+
+        gbase = k * (n_chunks * cg) + c * cg
+        xlo = x3_ref[pl.ds(gbase, cg)]
+        xhi = x3_ref[pl.ds(nG + gbase, cg)]
+        xcat = jnp.concatenate([xlo, xhi], axis=1)         # [cg, 2bm, g]
+
+        plo = jax.lax.dot_general(
+            xcat, lo3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # [cg, 2bm, bn]
+        pb = jax.lax.dot_general(
+            xhi, b3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # [cg, bm, bn]
+        contrib = (
+            plo[:, :bm, :] * slo[:, None, :]
+            + (pb - plo[:, bm:, :]) * shi16[:, None, :]
+        )
+        acc_ref[:] += jnp.sum(contrib, axis=0)
+
+        rs_lo = jnp.sum(xlo, axis=2)                        # [cg, bm]
+        rs_hi = jnp.sum(xhi, axis=2)
+        acc_ref[:] += jax.lax.dot_general(
+            rs_lo.astype(jnp.float32), z2lo,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            rs_hi.astype(jnp.float32), z2hi,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 def eff_qparams_to_block_major(qeff: jnp.ndarray, chunk_groups: int):
     """Reorder family-major kernel-form qparams ``[.., 4·nG, N]`` into
     the chunked block-major layout the merged kernel consumes: for each
@@ -271,6 +357,103 @@ def eff_qparams_to_block_major(qeff: jnp.ndarray, chunk_groups: int):
     q = qeff.reshape(*lead, 4, nchunk, cb, N)
     q = jnp.moveaxis(q, -4, -3)              # [.., nchunk, 4, cb, N]
     return q.reshape(*lead, fourng, N)
+
+
+def _kernel_banded_stacked(
+    l_ref,      # scalar prefetch: [1] int32 layer index
+    x_lo_ref,   # [bm, bkp] bf16 — lo-half activation columns (k-indexed)
+    x_hi_ref,   # [bm, bkp] — hi-half activation columns
+    wp_ref,     # [1, bkp, bn] uint8 — one layer's block of [L, Kp, N]
+    qp_ref,     # [1, 4·bg, bn] bf16 — chunked block-major qparams
+                # ([s_lo|s_hi/16|z2lo|z2hi] per canonical chunk)
+    out_ref, acc_ref, *, group_size: int, n_k_blocks: int,
+    n_chunks: int, xored: bool = False,
+):
+    """Stacked-weight banded variant: the fat-dot math of
+    ``_kernel_banded`` with scalar-prefetch layer indexing and the
+    merged block-major qparams stream (same operand layout as
+    ``_kernel_bint8m``), so it is a drop-in alternative for the decode
+    scan. Unlike the batched variant it takes PLAIN [bm, K]-row
+    activations — no grouped-x3 fold — which makes it the natural body
+    for multi-matmul megakernels (the transition between two chained
+    projections is elementwise only)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _, bkp, bn = wp_ref.shape
+    bm = x_lo_ref.shape[0]
+    g = group_size
+    bg = bkp // g
+    cb = bg // n_chunks
+
+    w = wp_ref[0]
+    lo = (w & jnp.uint8(0xF)).astype(jnp.int8)            # [bkp, bn]
+    bp = (w if xored else (w ^ jnp.uint8(0x80))).astype(jnp.int8)
+
+    diff = (
+        jax.lax.broadcasted_iota(jnp.int32, (bg, bkp), 0)
+        - jax.lax.broadcasted_iota(jnp.int32, (bg, bkp), 1) // g
+    )
+    maskf = (1 - jnp.minimum(diff * diff, 1)).astype(jnp.bfloat16)
+
+    def banded(x):  # [bm, bkp] → [bm·bg, bkp] bf16, row m·bg + gi
+        xb = x.astype(jnp.bfloat16)
+        blocks = [maskf * xb[m:m + 1] for m in range(bm)]
+        return blocks[0] if bm == 1 else jnp.concatenate(blocks, axis=0)
+
+    a_lo = banded(x_lo_ref[:])
+    a_hi = banded(x_hi_ref[:])
+    p_lo2 = jax.lax.dot_general(
+        jnp.concatenate([a_lo, a_hi], axis=0), lo,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(2 * bm, bg, bn)
+    p_b = jax.lax.dot_general(
+        a_hi, bp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bm, bg, bn)
+
+    # chunked qparams: family rows live per chunk of cb groups
+    qp = qp_ref[0]
+    fam = []
+    for f in range(4):  # slo | shi16 | z2lo | z2hi, [bg, bn] each
+        rows = [
+            qp[c * 4 * cb + f * cb:(c * 4 + f + 1) * cb]
+            for c in range(n_chunks)
+        ]
+        fam.append(
+            rows[0] if n_chunks == 1
+            else jnp.concatenate(rows, axis=0)
+        )
+    slo, shi16, z2lo, z2hi = fam
+
+    contrib = (
+        p_lo2[:bm] * slo.astype(jnp.float32)[None]
+        + (p_b - p_lo2[bm:]) * shi16.astype(jnp.float32)[None]
+    )
+    acc_ref[:] += jnp.sum(contrib, axis=1)
+
+    diffE = (
+        jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 0) // g
+        - jax.lax.broadcasted_iota(jnp.int32, (bkp, bg), 1)
+    )
+    E = (1 - jnp.minimum(diffE * diffE, 1)).astype(jnp.bfloat16)
+    for x_ref, z2 in ((x_lo_ref, z2lo), (x_hi_ref, z2hi)):
+        t = jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), E,
+            preferred_element_type=jnp.float32,
+        )                                                  # [bm, bg]
+        acc_ref[:] += jnp.dot(
+            t.astype(jnp.bfloat16), z2.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k_blocks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _kernel_banded(
@@ -442,7 +625,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant",
-        "qparams_chunk", "xored",
+        "qparams_chunk", "xored", "unified_chunk",
     ),
 )
 def int4_dq_matmul(
@@ -465,6 +648,10 @@ def int4_dq_matmul(
     #   qparams_eff is in the chunked BLOCK-MAJOR layout (merged-DMA
     #   decode kernel); None = family-major
     xored: bool = False,  # qdata bytes pre-XORed with 0x80
+    unified_chunk: Optional[int] = None,  # wp is the UNIFIED operand
+    #   (packed nibbles + qparam byte planes, qtypes.intx
+    #   ._unify_tiled_operand) with this many groups per chunk: the
+    #   decode kernel streams ONE weight-side operand per grid step
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n]).
 
@@ -478,6 +665,8 @@ def int4_dq_matmul(
         _, Kp, N = wp.shape
     else:
         Kp, N = wp.shape
+    if unified_chunk is not None:
+        Kp = K // 2  # wp rows include the embedded qparam planes
     assert Kp * 2 == K, (K, Kp)
     g_eff = min(group_size, Kp)
     assert Kp % g_eff == 0, (Kp, g_eff)
@@ -538,6 +727,18 @@ def int4_dq_matmul(
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret, layer_idx=layer_idx,
             qparams_chunk=qparams_chunk, xored=xored,
+            unified_chunk=unified_chunk,
+        )
+    if (
+        variant == "banded" and M <= 16
+        and qparams_chunk is not None and unified_chunk is None
+    ):
+        # stacked banded fast path (chunked qparams, zero-copy layers)
+        return _banded_stacked_call(
+            x, wp, qparams_eff,
+            group_size=g_eff, bm=M, bn=bn, bkp=bkp,
+            interpret=interpret, layer_idx=layer_idx,
+            qparams_chunk=qparams_chunk, xored=xored,
         )
     if qparams_chunk is not None:
         # non-decode variants assume FAMILY-major qparams_eff; let them
@@ -551,6 +752,13 @@ def int4_dq_matmul(
         qparams_eff = (
             qparams_eff[layer_idx] if qparams_eff is not None else None
         )
+    if unified_chunk is not None:
+        # non-decode variants read plain nibble rows: strip the embedded
+        # qparam planes (an XLA slice — same copy class as the per-layer
+        # slice these variants already materialize)
+        from torchao_tpu.qtypes.intx import _deunify_tiled_qdata
+
+        wp = _deunify_tiled_qdata(wp, unified_chunk)
     if variant == "banded" and M <= 16:
         return _banded_call(
             x, wp, scale, zero, qparams_eff,
@@ -593,10 +801,32 @@ def int4_dq_matmul(
     return out
 
 
+def _pipeline_experiment_knobs():
+    """Per-grid-step streaming experiment knobs (round-3 DMA work):
+    ``TORCHAO_TPU_INT4_BUFFERS=n`` multiple-buffers the weight-side
+    streams n-deep (default Mosaic double-buffering),
+    ``TORCHAO_TPU_INT4_LOOKAHEAD=1`` lets the pipeline fetch the next
+    *changed* block as soon as a slot frees (pl.Buffered.use_lookahead),
+    ``TORCHAO_TPU_INT4_VMEM_MB=m`` raises the Mosaic scoped-VMEM limit."""
+    import os
+
+    bufs = os.environ.get("TORCHAO_TPU_INT4_BUFFERS")
+    look = os.environ.get("TORCHAO_TPU_INT4_LOOKAHEAD") == "1"
+    pipeline_mode = (
+        pl.Buffered(buffer_count=int(bufs), use_lookahead=look)
+        if bufs
+        else (pl.Buffered(buffer_count=2, use_lookahead=True) if look
+              else None)
+    )
+    vmem = os.environ.get("TORCHAO_TPU_INT4_VMEM_MB")
+    vmem_bytes = int(float(vmem) * 2**20) if vmem else None
+    return pipeline_mode, vmem_bytes
+
+
 def _bint8_call(
     x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
-    qparams_chunk=None, xored=False,
+    qparams_chunk=None, xored=False, unified_chunk=None,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``).
 
@@ -607,13 +837,14 @@ def _bint8_call(
     M, K = x.shape
     if layer_idx is None:
         wp = wp[None]
-        scale = scale[None]
+        scale = scale[None] if scale is not None else None
         zero = zero[None] if zero is not None else None
         qparams_eff = (
             qparams_eff[None] if qparams_eff is not None else None
         )
         layer_idx = 0
-    _, Kp, N = wp.shape
+    _, WProws, N = wp.shape
+    Kp = K // 2
     g = group_size
     nG = Kp // g            # groups per packed half
     bg = bkp // g
@@ -624,6 +855,57 @@ def _bint8_call(
     assert bm == M and M <= 16, (M, bm)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
+
+    if unified_chunk is not None:
+        # single-stream kernel: weights + qparam byte planes in ONE
+        # operand (see _kernel_bint8u / qtypes.intx._unify_tiled_operand)
+        cb = unified_chunk
+        crows = 1024 + 8 * cb
+        assert WProws % crows == 0, (WProws, crows)
+        nch_total = WProws // crows
+        nch_step = max(1, min(bkp // 1024, nch_total))
+        while nch_total % nch_step:
+            nch_step -= 1
+        nbk = nch_total // nch_step
+        brows = nch_step * crows
+        lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+        grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+        kernel = functools.partial(
+            _kernel_bint8u, n_k_blocks=nbk, n_chunks=nch_step,
+            chunk_groups=cb, xored=xored,
+        )
+        pmode, vmem_bytes = _pipeline_experiment_knobs()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (2 * nG, bm, g), lambda i, j, k, l: (0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, brows, bn), lambda i, j, k, l: (l[0], k, j),
+                    pipeline_mode=pmode,
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=vmem_bytes,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * M * N * K,
+                bytes_accessed=WProws * N + M * K * 4,
+                transcendentals=0,
+            ),
+        )(lvec, x3, wp)
+        return out
     if qparams_eff is None:
         # derive the interleaved kernel-form qparams per call (tests /
         # direct callers; quantize_ precomputes them as a weight leaf —
@@ -671,6 +953,7 @@ def _bint8_call(
             _kernel_bint8m, n_k_blocks=nbk, n_chunks=bg // cb,
             xored=xored,
         )
+        pmode, vmem_bytes = _pipeline_experiment_knobs()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -679,10 +962,12 @@ def _bint8_call(
                     (2 * nG, bm, g), lambda i, j, k, l: (0, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (1, bkp, bn), lambda i, j, k, l: (l[0], k, j)
+                    (1, bkp, bn), lambda i, j, k, l: (l[0], k, j),
+                    pipeline_mode=pmode,
                 ),
                 pl.BlockSpec(
-                    (1, 4 * bg, bn), lambda i, j, k, l: (l[0], k, j)
+                    (1, 4 * bg, bn), lambda i, j, k, l: (l[0], k, j),
+                    pipeline_mode=pmode,
                 ),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
@@ -695,6 +980,7 @@ def _bint8_call(
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=vmem_bytes,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=6 * M * N * K,
@@ -707,6 +993,7 @@ def _bint8_call(
 
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk, xored=xored)
+    pmode, vmem_bytes = _pipeline_experiment_knobs()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -714,16 +1001,21 @@ def _bint8_call(
             pl.BlockSpec(
                 (2 * nG, bm, g), lambda i, j, k, l: (0, 0, 0)
             ),
-            pl.BlockSpec((1, bkp, bn), lambda i, j, k, l: (l[0], k, j)),
-            pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec((1, bkp, bn), lambda i, j, k, l: (l[0], k, j),
+                         pipeline_mode=pmode),
+            pl.BlockSpec((1, bg, bn), lambda i, j, k, l: (l[0], k, j),
+                         pipeline_mode=pmode),
             pl.BlockSpec(
-                (1, bg, bn), lambda i, j, k, l: (l[0], k + nbk, j)
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + nbk, j),
+                pipeline_mode=pmode,
             ),
             pl.BlockSpec(
-                (1, bg, bn), lambda i, j, k, l: (l[0], k + 2 * nbk, j)
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + 2 * nbk, j),
+                pipeline_mode=pmode,
             ),
             pl.BlockSpec(
-                (1, bg, bn), lambda i, j, k, l: (l[0], k + 3 * nbk, j)
+                (1, bg, bn), lambda i, j, k, l: (l[0], k + 3 * nbk, j),
+                pipeline_mode=pmode,
             ),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
@@ -738,6 +1030,7 @@ def _bint8_call(
             # i/j tiles are independent; only the K axis carries the
             # accumulator — lets Mosaic pipeline/reorder the N tiles
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * M * N * K,
@@ -749,6 +1042,76 @@ def _bint8_call(
         lvec, x3, wp,
         qparams_eff, qparams_eff, qparams_eff, qparams_eff,
     )
+    return out
+
+
+def _banded_stacked_call(
+    x, wp, qparams_eff,
+    *, group_size, bm, bn, bkp, interpret, layer_idx=None,
+    qparams_chunk, xored=False,
+):
+    """Launch the stacked banded variant (see ``_kernel_banded_stacked``):
+    scalar-prefetch layer indexing + ONE chunked block-major qparams
+    stream — the same operand layout the decode scan already stores, but
+    with the fat-dot math (a handful of MXU issues per grid step instead
+    of ~2·bg batched sub-dots)."""
+    M, K = x.shape
+    if layer_idx is None:
+        wp = wp[None]
+        qparams_eff = qparams_eff[None]
+        layer_idx = 0
+    _, Kp, N = wp.shape
+    g = group_size
+    cb = qparams_chunk
+    ckp = cb * g                      # packed rows per canonical chunk
+    if bkp % ckp != 0:
+        bkp = ckp
+    bkp = min(bkp, Kp)
+    assert Kp % bkp == 0 and bkp % ckp == 0, (Kp, bkp, ckp)
+    bg = bkp // g
+    nbk = Kp // bkp
+    assert bm == M and M <= 16, (M, bm)
+
+    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
+    grid = (cdiv(M, bm), cdiv(N, bn), nbk)
+    kernel = functools.partial(
+        _kernel_banded_stacked, group_size=g, n_k_blocks=nbk,
+        n_chunks=bg // cb, xored=xored,
+    )
+    pmode, vmem_bytes = _pipeline_experiment_knobs()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bkp), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((bm, bkp), lambda i, j, k, l: (i, k + nbk)),
+            pl.BlockSpec(
+                (1, bkp, bn), lambda i, j, k, l: (l[0], k, j),
+                pipeline_mode=pmode,
+            ),
+            pl.BlockSpec(
+                (1, 4 * bg, bn), lambda i, j, k, l: (l[0], k, j),
+                pipeline_mode=pmode,
+            ),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K * (bkp // g),
+            bytes_accessed=Kp * N + 4 * (Kp // g) * N * 2 + M * K * 4,
+            transcendentals=0,
+        ),
+    )(lvec, x, x, wp, qparams_eff)
     return out
 
 
@@ -854,10 +1217,15 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
     int_domain = (
         not symmetric and w.zero_point_domain is ZeroPointDomain.INT
     )
-    if int_domain and w.qparams_eff is None:
+    if (
+        int_domain
+        and w.qparams_eff is None
+        and getattr(w, "unified_chunk", None) is None
+    ):
         # INT zero domain (HQQ/gemlite int4) rides the same kernels via
         # the float-equivalent zero z = (mid − zp)·s — precomputed as
-        # qparams_eff at quantize time; without it, fall back to XLA
+        # qparams_eff (or folded into the unified operand) at quantize
+        # time; without either, fall back to XLA
         return None
     if (
         not symmetric
@@ -909,6 +1277,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
 
         qchunk = getattr(w, "qparams_eff_chunk", None)
         xorf = getattr(w, "nibbles_xored", False)
+        uchunk = getattr(w, "unified_chunk", None)
         tuned = lookup_or_tune(
             "int4_dq_matmul",
             (xb.shape[0], N, K, group_size),
@@ -918,7 +1287,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
                 w.qparams_eff,
                 group_size=group_size, mid=mid,
                 layer_idx=layer_idx, qparams_chunk=qchunk,
-                xored=xorf, **cfg,
+                xored=xorf, unified_chunk=uchunk, **cfg,
             ),
             example_x=xb,
         )
@@ -928,7 +1297,8 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             xb, w.qdata, w.scale, zero,
             w.qparams_eff,
             group_size=group_size, mid=mid, layer_idx=layer_idx,
-            qparams_chunk=qchunk, xored=xorf, **kw,
+            qparams_chunk=qchunk, xored=xorf, unified_chunk=uchunk,
+            **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))
 

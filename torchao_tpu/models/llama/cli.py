@@ -44,6 +44,25 @@ def config_from_recipe(q: str):
         return Int8WeightOnlyConfig()
     if q == "int8dq":
         return Int8DynamicActivationInt8WeightConfig()
+    if q == "int8dq_prefill_wo_decode":
+        # reference generate.py:411: dynamic act-quant during prefill,
+        # weight-only during decode (seq-len==1 skips the act quant)
+        return Int8DynamicActivationInt8WeightConfig(
+            weight_only_decode=True
+        )
+    if q.startswith("int4dq"):
+        # reference generate.py:431 CUTLASS rowwise s8s4/s4s4: the nbits
+        # suffix selects the ACTIVATION width (8 → W4A8, 4 → W4A4)
+        from torchao_tpu.quantization.quant_api import (
+            Int4DynamicActivationInt4WeightConfig,
+        )
+
+        nbits = int(q.split("-")[1]) if "-" in q else 8
+        if nbits == 8:
+            return Int8DynamicActivationInt4WeightConfig(group_size=32)
+        if nbits == 4:
+            return Int4DynamicActivationInt4WeightConfig()
+        raise ValueError(f"int4dq activation bits must be 4 or 8: {q!r}")
     if q.startswith("int4wo"):
         parts = q.split("-")
         group = int(parts[1]) if len(parts) > 1 else 128
@@ -85,6 +104,22 @@ def config_from_recipe(q: str):
         from torchao_tpu.prototype.mx_formats import NVFP4InferenceConfig
 
         return NVFP4InferenceConfig()
+    if q == "embed-int8wo":
+        # reference generate.py:604: int8 weight-only on the embedding
+        # table only (equivalent to the --embed_int8wo flag)
+        return ("embed-int8wo",)
+    if q == "spinquant":
+        # reference generate.py:598 → prototype/spinquant: Hadamard
+        # rotations folded into the weights (R1/R2) + online R4
+        return ("spinquant",)
+    if q.startswith("awq"):
+        # awq-uintx-<nbits>-<group>[-<calib_seqs>]
+        # (reference generate.py:462-494 awq-uintx / awq-8da4w)
+        parts = q.split("-")
+        nbits = int(parts[2]) if len(parts) > 2 else 4
+        group = int(parts[3]) if len(parts) > 3 else 64
+        calib = int(parts[4]) if len(parts) > 4 else 2
+        return ("awq", nbits, group, calib)
     if q.startswith("autoquant"):
         return ("autoquant", q)
     if "marlin" in q or "gemlite" in q or "sparse" in q:
@@ -151,6 +186,10 @@ def main(argv=None):
 
     margs = ModelArgs.from_name(args.model_name)
     margs.block_size = min(margs.block_size, args.block_size_cap)
+    if args.quantization == "spinquant":
+        # online R4 Hadamard before w2 (rotations folded into weights
+        # by apply_spinquant below; the model must apply R4 at runtime)
+        margs.use_r4_hadamard = True
     model = Transformer(margs, dtype=jnp.bfloat16)
 
     # leaf-by-leaf quantized init for random-weight runs with a plain
@@ -222,7 +261,57 @@ def main(argv=None):
         params = gptq_quantize_llama(model, params, calib, group_size=g)
     elif args.quantization:
         cfg = config_from_recipe(args.quantization)
-        if isinstance(cfg, tuple):  # autoquant
+        if isinstance(cfg, tuple) and cfg[0] == "embed-int8wo":
+            from torchao_tpu.quantization.quant_api import (
+                Int8WeightOnlyConfig,
+            )
+
+            params = quantize_(
+                params, Int8WeightOnlyConfig(),
+                filter_fn=lambda p, l: "tok_embeddings" in p,
+            )
+        elif isinstance(cfg, tuple) and cfg[0] == "spinquant":
+            from torchao_tpu.prototype.spinquant import apply_spinquant
+
+            params = apply_spinquant(
+                params, jax.random.PRNGKey(0),
+                r1=True, r2=True, r4=True,
+                head_dim=margs.head_dim, n_head=margs.n_head,
+                n_local_heads=margs.n_local_heads,
+            )
+        elif isinstance(cfg, tuple) and cfg[0] == "awq":
+            _, nbits, group, calib_seqs = cfg
+            from torchao_tpu.prototype.awq import (
+                AWQConfig,
+                convert_awq_,
+                insert_awq_observers_,
+            )
+            from torchao_tpu.quantization.quant_api import (
+                UIntXWeightOnlyConfig,
+            )
+            import numpy as np
+
+            observed, _stats = insert_awq_observers_(
+                params, filter_fn=default_linear_filter
+            )
+            calib = jnp.asarray(
+                np.random.RandomState(0).randint(
+                    0, margs.vocab_size, (calib_seqs, 128)
+                ),
+                jnp.int32,
+            )
+            # observers are host-side state: run the calibration
+            # forward OUTSIDE jit (reference awq/api.py calibration)
+            with jax.disable_jit():
+                cache = model.setup_caches(calib_seqs, 128)
+                model(observed, calib, 0, cache)
+            params = convert_awq_(
+                observed,
+                AWQConfig(base_config=UIntXWeightOnlyConfig(
+                    dtype=f"uint{nbits}", group_size=group,
+                )),
+            )
+        elif isinstance(cfg, tuple):  # autoquant
             from torchao_tpu.quantization.autoquant import (
                 all_autoquant_class_list,
                 autoquant_,

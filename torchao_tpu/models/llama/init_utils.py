@@ -69,7 +69,23 @@ def init_quantized_params(model, config, filter_fn, key):
                 p = jax.jit(init_fn, static_argnums=1)(kc, half)
                 jax.block_until_ready(p)
                 parts.append(p)
-            if isinstance(parts[0], IntxArray):
+            from torchao_tpu.qtypes.composition import (
+                LinearActivationQuantizedArray,
+            )
+
+            if (
+                isinstance(parts[0], LinearActivationQuantizedArray)
+                and isinstance(parts[0].original_weight, IntxArray)
+            ):
+                import dataclasses as _dc
+
+                out = _dc.replace(
+                    parts[0],
+                    original_weight=jax.jit(IntxArray.concat_out_features)(
+                        [p.original_weight for p in parts]
+                    ),
+                )
+            elif isinstance(parts[0], IntxArray):
                 out = jax.jit(IntxArray.concat_out_features)(parts)
             elif (
                 hasattr(parts[0], "qdata")

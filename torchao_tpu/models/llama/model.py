@@ -54,6 +54,10 @@ class ModelArgs:
     # (w2 must have been folded by prototype.spinquant.apply_spinquant
     # with r4=True — see that module's docstring).
     use_r4_hadamard: bool = False
+    # >1: the fused wqkv out-features are interleaved device-major for
+    # aligned tensor parallelism (parallel.sharding.interleave_qkv_params)
+    # and the q/k/v split is per-block — see _attention
+    qkv_device_blocks: int = 1
     # SpinQuant R3: online per-head Hadamard on q and k after RoPE.
     # Score-invariant ((qH)(kH)ᵀ = qkᵀ), so it needs no weight folding;
     # its purpose is flattening K's per-token distribution before the
@@ -632,9 +636,25 @@ def _attention(
     H, Hkv, Dh = args.n_head, args.n_local_heads, args.head_dim
 
     qkv = _lin(x, lw["wqkv"], layer_idx)
-    q, k, v = jnp.split(
-        qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1
-    )
+    if args.qkv_device_blocks > 1:
+        # TP-aligned fused projection: wqkv rows were interleaved
+        # device-major ([q_d | k_d | v_d] per device block — see
+        # parallel.sharding.interleave_qkv_params), so the split is
+        # per-block and every slice is shard-local under GSPMD (the
+        # naive section split crosses shard boundaries and compiles to
+        # per-step weight all-to-alls + activation permutes). Block d
+        # holds ORIGINAL head ranges, so concatenation order — and
+        # therefore cache layout and wo — is unchanged.
+        nb = args.qkv_device_blocks
+        qd, kd = H * Dh // nb, Hkv * Dh // nb
+        qkv4 = qkv.reshape(B, T, nb, qd + 2 * kd)
+        q = qkv4[..., :qd].reshape(B, T, H * Dh)
+        k = qkv4[..., qd:qd + kd].reshape(B, T, Hkv * Dh)
+        v = qkv4[..., qd + kd:].reshape(B, T, Hkv * Dh)
+    else:
+        q, k, v = jnp.split(
+            qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1
+        )
     q = q.reshape(B, T, H, Dh)
     k = k.reshape(B, T, Hkv, Dh)
     v = v.reshape(B, T, Hkv, Dh)

@@ -308,10 +308,14 @@ def _check_int4_weight_only(x, w, bias):
         and (
             w.zero_point_domain is ZeroPointDomain.FLOAT
             # INT-domain int4 (HQQ / gemlite) rides the same kernel via
-            # the precomputed float-equivalent zero (in qparams_eff)
+            # the precomputed float-equivalent zero (in qparams_eff or
+            # folded into the unified operand)
             or (
                 w.zero_point_domain is ZeroPointDomain.INT
-                and getattr(w, "qparams_eff", None) is not None
+                and (
+                    getattr(w, "qparams_eff", None) is not None
+                    or getattr(w, "unified_chunk", None) is not None
+                )
             )
         )
     )
@@ -332,9 +336,60 @@ def _impl_int4_weight_only(x, w: IntxArray, bias, preference):
         if impl is not None:
             out = impl(x, w)
             return out + bias if bias is not None else out
-    wd = w.dequantize(x.dtype)
-    out = jnp.matmul(x, wd.T)
+    out = _xla_tiled_int4_linear(x, w)
+    if out is None:
+        wd = w.dequantize(x.dtype)
+        out = jnp.matmul(x, wd.T)
     return out + bias if bias is not None else out
+
+
+def _xla_tiled_int4_linear(x, w: IntxArray):
+    """XLA path for TILED_NIBBLES without re-concatenating the K axis.
+
+    ``unpacked_qdata`` concatenates the lo/hi half-split along K; under
+    K-axis (row-parallel TP) sharding that concat redistributes every
+    weight shard each step — GSPMD compiles it to per-step weight
+    all-to-alls (found by ``parallel.evidence.tp_decode_evidence``).
+    Contraction order is free, so contract each packed half against its
+    own activation columns instead: both dots are shard-local and XLA
+    inserts one psum. Identical math to dequantize+matmul."""
+    if w.packing_format is not PackingFormat.TILED_NIBBLES:
+        return None
+    if getattr(w, "unified_chunk", None) is not None:
+        return None
+    N, K = w.shape[-2:]
+    Kp = K // 2
+    g = w.block_size[-1]
+    nG2 = K // g
+    if nG2 % 2:
+        return None
+    nG = nG2 // 2
+    qd = w.qdata  # [.., Kp, N] K-major
+    if w.nibbles_xored:
+        qd = qd ^ jnp.uint8(0x80)
+    lo = (qd & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (qd >> 4).astype(jnp.int8)
+    mid = (w.quant_max + w.quant_min + 1) / 2 - w.quant_min
+    s = w.scale.astype(jnp.float32)  # [.., K/g, N] K-major
+    if w.zero_point is None:
+        z = jnp.zeros_like(s)
+    elif w.zero_point_domain is ZeroPointDomain.INT:
+        z = (mid - w.zero_point.astype(jnp.float32)) * s
+    else:
+        z = w.zero_point.astype(jnp.float32)
+
+    def dq(q, sl, zl):  # [.., Kp, N] bf16 dequantized half
+        sf = jnp.repeat(sl, g, axis=-2)
+        zf = jnp.repeat(zl, g, axis=-2)
+        return (
+            (q.astype(jnp.float32) - mid) * sf + zf
+        ).astype(x.dtype)
+
+    dq_lo = dq(lo, s[..., :nG, :], z[..., :nG, :])
+    dq_hi = dq(hi, s[..., nG:, :], z[..., nG:, :])
+    x2 = x.reshape(-1, K)
+    out = jnp.matmul(x2[:, :Kp], dq_lo) + jnp.matmul(x2[:, Kp:], dq_hi)
+    return out.reshape(x.shape[:-1] + (N,))
 
 
 def _check_int8_dyn_act_int8_weight(x, w, bias):

@@ -198,3 +198,68 @@ def shard_params(
 ) -> Any:
     """device_put params with the Llama TP rules."""
     return jax.device_put(params, llama_param_specs(params, mesh, model_axis))
+
+
+def _slice_out_features(leaf, start: int, size: int):
+    if hasattr(leaf, "slice_out_features"):
+        return leaf.slice_out_features(start, size)
+    if hasattr(leaf, "original_weight"):  # composition wrappers
+        import dataclasses
+
+        return dataclasses.replace(
+            leaf,
+            original_weight=_slice_out_features(
+                leaf.original_weight, start, size
+            ),
+        )
+    return leaf[..., start:start + size, :]
+
+
+def _concat_out_features(parts):
+    import jax.numpy as jnp
+
+    a = parts[0]
+    if hasattr(a, "concat_out_features"):
+        return type(a).concat_out_features(parts)
+    if hasattr(a, "original_weight"):
+        import dataclasses
+
+        return dataclasses.replace(
+            a,
+            original_weight=_concat_out_features(
+                [p.original_weight for p in parts]
+            ),
+        )
+    return jnp.concatenate(parts, axis=-2)
+
+
+def interleave_qkv_params(params: Any, args, n_blocks: int) -> Any:
+    """Reorder the fused wqkv out-features DEVICE-MAJOR for aligned TP.
+
+    The fused projection concatenates sections of widths
+    (H·Dh, Hkv·Dh, Hkv·Dh); sharding that axis into ``n_blocks`` equal
+    shards puts section boundaries inside shards, and GSPMD then
+    reshards q/k/v on EVERY step (weight all-to-alls + activation
+    permutes in the compiled decode — found by
+    ``parallel.evidence.tp_decode_evidence``). This permutes rows so
+    block ``d`` holds ``[q_d | k_d | v_d]`` (each section's d-th
+    head-aligned slice): every shard boundary coincides with a block
+    boundary and the model's per-block split
+    (``ModelArgs.qkv_device_blocks = n_blocks``) is shard-local.
+    Head order inside q/k/v is unchanged, so the KV cache layout, RoPE,
+    GQA grouping and wo are untouched."""
+    H, Hkv, Dh = args.n_head, args.n_local_heads, args.head_dim
+    assert H % n_blocks == 0 and Hkv % n_blocks == 0, (H, Hkv, n_blocks)
+    qd, kd = H * Dh, Hkv * Dh
+    qpd, kpd = qd // n_blocks, kd // n_blocks
+    w = params["layers"]["attention"]["wqkv"]
+    parts = []
+    for d in range(n_blocks):
+        parts.append(_slice_out_features(w, d * qpd, qpd))
+        parts.append(_slice_out_features(w, qd + d * kpd, kpd))
+        parts.append(_slice_out_features(w, qd + kd + d * kpd, kpd))
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    out["layers"]["attention"] = dict(params["layers"]["attention"])
+    out["layers"]["attention"]["wqkv"] = _concat_out_features(parts)
+    return out

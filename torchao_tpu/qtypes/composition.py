@@ -95,3 +95,16 @@ class WeightTensorWithLinearActivationScaleMetadata(QuantizedArray):
         return dataclasses.replace(
             self, original_weight=self.original_weight.unstack_layer()
         )
+
+    def take_layer(self, l):
+        """Layer-slice the inner weight only: the equalization scale is
+        per-INPUT-channel ([K], no layer axis) unless computed per layer
+        ([L, K])."""
+        import dataclasses
+
+        eq = self.equalization_scale
+        return dataclasses.replace(
+            self,
+            original_weight=self.original_weight.take_layer(l),
+            equalization_scale=eq[l] if eq.ndim == 2 else eq,
+        )
