@@ -124,29 +124,79 @@ def main():
     temperature = 0.0 if greedy else 0.6
     top_k = None if greedy else 200
 
+    # Programs are built ONCE and the timed region is the DECODE loop
+    # alone (cache setup + prefill synced outside it). Round-2's numbers
+    # re-created the jitted programs inside the timed region, so BOTH
+    # arms measured Python re-trace time (~8 tok/s) instead of device
+    # decode (PERF.md round-2 spec note) — the wall-clock ratio below is
+    # the honest machinery cost.
+    from torchao_tpu.models.llama.generate import (
+        make_decode_n_tokens,
+        make_prefill,
+    )
+    from torchao_tpu.models.llama.speculative import (
+        make_speculative_decode,
+    )
+
+    key = jax.random.PRNGKey(0)
+    prefill = make_prefill(model)
+    dprefill = prefill if args.identical_draft else make_prefill(draft)
+    decode_n = make_decode_n_tokens(model, args.new_tokens - 1)
+    spec = make_speculative_decode(
+        model, draft, args.new_tokens - 1, args.spec_k
+    )
+    max_seq = args.prompt_len + args.new_tokens + args.spec_k + 1
+
     def run_spec():
-        t0 = time.perf_counter()
-        out, stats = generate_speculative(
-            model, params, draft, dparams, prompt, args.new_tokens,
-            spec_k=args.spec_k, temperature=temperature, top_k=top_k,
-            return_stats=True,
+        cache = model.setup_caches(1, max_seq)
+        dcache = draft.setup_caches(1, max_seq)
+        first, cache = prefill(
+            params, prompt, cache, key, temperature, top_k
         )
-        int(out[0, -1])
-        return time.perf_counter() - t0, out, stats
+        _, dcache = dprefill(
+            dparams, prompt, dcache, key, temperature, top_k
+        )
+        int(first[0])
+        t0 = time.perf_counter()
+        rest, cache, dcache, st = spec(
+            params, dparams, prompt[:, -1], first, cache, dcache,
+            args.prompt_len, key, temperature, top_k,
+        )
+        int(rest[0, -1])
+        dt = time.perf_counter() - t0
+        out = jnp.concatenate([prompt, first[:, None], rest], axis=1)
+        rounds, drafted, accepted = (int(s) for s in st)
+        return dt, out, {
+            "rounds": rounds,
+            "drafted": drafted,
+            "accepted": accepted,
+            "acceptance_rate": accepted / max(drafted, 1),
+        }
 
     def run_vanilla():
-        t0 = time.perf_counter()
-        out = generate(
-            model, params, prompt, args.new_tokens,
-            temperature=temperature, top_k=top_k,
+        cache = model.setup_caches(1, max_seq)
+        first, cache = prefill(
+            params, prompt, cache, key, temperature, top_k
         )
-        int(out[0, -1])
-        return time.perf_counter() - t0, out
+        int(first[0])
+        t0 = time.perf_counter()
+        rest, cache = decode_n(
+            params, first, cache, args.prompt_len, key, temperature,
+            top_k,
+        )
+        int(rest[0, -1])
+        dt = time.perf_counter() - t0
+        out = jnp.concatenate([prompt, first[:, None], rest], axis=1)
+        return dt, out
 
     run_spec()       # compile
     run_vanilla()    # compile
-    t_spec, out_s, stats = run_spec()
-    t_van, out_v = run_vanilla()
+    t_spec, out_s, stats = min(
+        (run_spec() for _ in range(2)), key=lambda r: r[0]
+    )
+    t_van, out_v = min(
+        (run_vanilla() for _ in range(2)), key=lambda r: r[0]
+    )
 
     if args.greedy_selfcheck:
         match = bool(

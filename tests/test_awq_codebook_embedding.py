@@ -91,3 +91,57 @@ class TestQuantizedEmbedding:
         assert not isinstance(qparams["tok_embeddings"]["weight"], jnp.ndarray)
         out, _ = model(qparams, toks)
         assert compute_error(ref, out) > 30
+
+
+class TestCodebookVariants:
+    """The reference ships THREE codebook variants
+    (prototype/quantization/codebook{,_coreml,_groupwise}); these cover
+    the other two: block (vector) codebooks and groupwise LUTs."""
+
+    def test_block_codebook_roundtrip_and_bits(self):
+        from torchao_tpu.prototype.codebook import (
+            BlockCodebookQuantizedArray,
+            BlockCodebookWeightOnlyConfig,
+        )
+
+        rs = np.random.RandomState(3)
+        w = jnp.asarray(rs.randn(64, 128), jnp.bfloat16)
+        qw = quantize_(
+            {"w": w},
+            BlockCodebookWeightOnlyConfig(dtype_nbits=8, block_len=2),
+        )["w"]
+        assert isinstance(qw, BlockCodebookQuantizedArray)
+        # 8 bits per 2-weight code = 4 bits/weight
+        assert qw.indices.shape == (64, 64)
+        assert qw.codebook.shape == (256, 2)
+        err = compute_error(w, qw.dequantize(jnp.float32))
+        assert err > 12, err
+        x = jnp.asarray(rs.randn(4, 128), jnp.bfloat16)
+        assert compute_error(
+            jnp.matmul(x, w.T), ops.linear(x, qw)
+        ) > 10
+
+    def test_groupwise_lut_beats_single_lut_on_heterogeneous_rows(self):
+        from torchao_tpu.prototype.codebook import (
+            GroupwiseLutQuantizedArray,
+            GroupwiseLutWeightConfig,
+        )
+
+        rs = np.random.RandomState(4)
+        # two row populations with different shapes (uniform vs bimodal):
+        # a single global LUT must compromise; per-group LUTs adapt
+        a = rs.uniform(-1, 1, (32, 128))
+        b = rs.choice([-1.0, -0.9, 0.9, 1.0], (32, 128)) + rs.randn(32, 128) * 0.02
+        w = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+        qg = quantize_(
+            {"w": w},
+            GroupwiseLutWeightConfig(dtype_nbits=3, rows_per_group=32),
+        )["w"]
+        assert isinstance(qg, GroupwiseLutQuantizedArray)
+        assert qg.luts.shape == (2, 8)
+        qs = quantize_(
+            {"w": w}, CodebookWeightOnlyConfig(dtype_nbits=3)
+        )["w"]
+        err_g = compute_error(w, qg.dequantize(jnp.float32))
+        err_s = compute_error(w, qs.dequantize(jnp.float32))
+        assert err_g > err_s + 1.0, (err_g, err_s)

@@ -897,3 +897,134 @@ def test_ffn_int4_megakernel_batched():
     h1, h3 = jnp.split(x.astype(jnp.float32) @ w13l.T, 2, axis=-1)
     ref = (jax.nn.silu(h1) * h3) @ w2l.T
     assert compute_error(ref, out) > 30
+
+
+class TestFp6Kernel:
+    """Fused fp6 (e3m2) decode kernel — the reference fp6-LLM analog
+    (csrc/cuda/fp6_llm/fp6_linear.cu); see kernels/fp6_matmul.py."""
+
+    def _mk(self, N, K, seed=0):
+        from torchao_tpu.kernels.fp6_matmul import pack_fp6_kmajor
+        from torchao_tpu.quantization import quant_primitives as qp
+
+        w = jax.random.normal(jax.random.PRNGKey(seed), (N, K), jnp.float32)
+        scale = qp.choose_qparams_affine_floatx(w, 3, 2)
+        codes = qp.exmy_encode(
+            qp.quantize_affine_floatx(w, scale, 3, 2), 3, 2
+        )
+        s4, s2 = pack_fp6_kmajor(codes)
+        return w, scale, codes, s4, s2
+
+    def test_oracle_matches_primitives_exactly(self):
+        """The K-major packed reconstruction is bit-exact vs
+        exmy_decode + dequantize_affine_floatx (incl. subnormals)."""
+        from torchao_tpu.quantization import quant_primitives as qp
+
+        w, scale, codes, s4, s2 = self._mk(64, 512)
+        f4 = jnp.concatenate([s4 & 0xF, s4 >> 4], axis=0)
+        f2 = jnp.concatenate(
+            [(s2 >> (2 * q)) & 3 for q in range(4)], axis=0
+        )
+        m = (f4 & 3).astype(jnp.float32)
+        e = ((f4 >> 2) & 3).astype(jnp.int32) + (
+            (f2 & 1).astype(jnp.int32) << 2
+        )
+        s = ((f2 >> 1) & 1).astype(jnp.float32)
+        nz = (e > 0).astype(jnp.float32)
+        v32 = (2 * m + (4 - m) * nz) * jnp.exp2(
+            e.astype(jnp.float32)
+        ) * (1 - 2 * s)
+        wrec = (v32 / 32.0 * scale.astype(jnp.float32)[None, :]).T
+        dq = qp.dequantize_affine_floatx(
+            qp.exmy_decode(codes, 3, 2), scale, 3, 2,
+            output_dtype=jnp.float32,
+        )
+        assert float(jnp.abs(wrec - dq).max()) == 0.0
+
+    @pytest.mark.parametrize("bkq", [None, 256])
+    def test_kernel_matches_oracle(self, bkq):
+        from torchao_tpu.kernels.fp6_matmul import (
+            fp6_dq_matmul,
+            fp6_dq_matmul_reference,
+        )
+
+        w, scale, codes, s4, s2 = self._mk(256, 2048)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2048), jnp.bfloat16)
+        ref = fp6_dq_matmul_reference(x, s4, s2, scale)
+        out = fp6_dq_matmul(x, s4, s2, scale, interpret=True, bkq=bkq)
+        rel = float(
+            jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+            / jnp.abs(ref.astype(jnp.float32)).max()
+        )
+        assert rel < 1e-6, rel
+
+    def test_stacked_layer_idx(self):
+        from torchao_tpu.kernels.fp6_matmul import (
+            fp6_dq_matmul,
+            fp6_dq_matmul_reference,
+        )
+
+        mats = [self._mk(256, 2048, seed=i) for i in range(2)]
+        s4s = jnp.stack([m[3] for m in mats])
+        s2s = jnp.stack([m[4] for m in mats])
+        scs = jnp.stack([m[1] for m in mats])
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 2048), jnp.bfloat16)
+        for l in range(2):
+            ref = fp6_dq_matmul_reference(x, mats[l][3], mats[l][4], mats[l][1])
+            out = fp6_dq_matmul(
+                x, s4s, s2s, scs, interpret=True, layer_idx=jnp.int32(l)
+            )
+            rel = float(
+                jnp.abs(
+                    out.astype(jnp.float32) - ref.astype(jnp.float32)
+                ).max() / jnp.abs(ref.astype(jnp.float32)).max()
+            )
+            assert rel < 1e-6, (l, rel)
+
+    def test_floatx_kmajor_dequant_matches_legacy(self):
+        """kmajor FloatxArray dequantizes identically to the axis=-1
+        shard layout (same codes, different storage)."""
+        import os
+
+        from torchao_tpu.qtypes.floatx import FloatxArray
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (64, 512), jnp.bfloat16)
+        km = FloatxArray.from_hp(w, 3, 2)
+        assert km.kmajor
+        # legacy layout: force via a K not divisible by 8? use direct path
+        from torchao_tpu.qtypes.packing import pack_uintx
+        from torchao_tpu.quantization import quant_primitives as qp
+        import dataclasses as dc
+
+        scale = qp.choose_qparams_affine_floatx(w, 3, 2)
+        codes = qp.exmy_encode(
+            qp.quantize_affine_floatx(w, scale, 3, 2), 3, 2
+        )
+        shards = pack_uintx(codes, 6, axis=-1)
+        legacy = dc.replace(
+            km, qdata=shards[0], qdata2=shards[1], kmajor=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(km.dequantize(jnp.float32)),
+            np.asarray(legacy.dequantize(jnp.float32)),
+        )
+
+    def test_ops_linear_dispatch_and_slice_concat(self):
+        from torchao_tpu import ops
+        from torchao_tpu.qtypes.floatx import FloatxArray
+
+        w = jax.random.normal(jax.random.PRNGKey(4), (256, 1024), jnp.bfloat16)
+        qw = FloatxArray.from_hp(w, 3, 2)
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 1024), jnp.bfloat16)
+        out = ops.linear(x, qw)
+        ref = jnp.matmul(x, qw.dequantize(jnp.bfloat16).T)
+        assert compute_error(ref, out) > 40
+        # slice/concat round trip
+        parts = [
+            qw.slice_out_features(0, 128), qw.slice_out_features(128, 128)
+        ]
+        back = FloatxArray.concat_out_features(parts)
+        np.testing.assert_array_equal(
+            np.asarray(back.dequantize(jnp.float32)),
+            np.asarray(qw.dequantize(jnp.float32)),
+        )

@@ -85,8 +85,9 @@ def init_quantized_params(model, config, filter_fn, key):
                         [p.original_weight for p in parts]
                     ),
                 )
-            elif isinstance(parts[0], IntxArray):
-                out = jax.jit(IntxArray.concat_out_features)(parts)
+            elif hasattr(parts[0], "concat_out_features"):
+                # IntxArray / FloatxArray(kmajor) / other sliceable types
+                out = jax.jit(type(parts[0]).concat_out_features)(parts)
             elif (
                 hasattr(parts[0], "qdata")
                 and getattr(parts[0], "scale", None) is not None

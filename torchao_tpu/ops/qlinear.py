@@ -128,6 +128,18 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
             out = impl(x, w)
             return out + bias if bias is not None else out
 
+    from torchao_tpu.qtypes.floatx import FloatxArray
+
+    if isinstance(w, FloatxArray) and w.qdata.ndim == 3:
+        from torchao_tpu.kernels import fp6_matmul
+
+        impl = fp6_matmul.fp6_dq_matmul_available(
+            x, w, layer_idx=layer_idx
+        )
+        if impl is not None:
+            out = impl(x, w)
+            return out + bias if bias is not None else out
+
     if isinstance(w, Float8Array) and w.qdata.ndim == 3:
         from torchao_tpu.kernels import fp8_matmul
 
@@ -683,3 +695,28 @@ register_qlinear_dispatch(
     "int4_weight_only", _check_int4_weight_only, _impl_int4_weight_only
 )
 register_qlinear_dispatch("fp8_weight", _check_fp8_weight, _impl_fp8_weight)
+
+
+def _check_fpx_weight(x, w, bias):
+    from torchao_tpu.qtypes.floatx import FloatxArray
+
+    return isinstance(w, FloatxArray) and w.ndim == 2
+
+
+def _impl_fpx_weight(x, w, bias, preference):
+    """fpx weight-only: fp6 e3m2 rides the fused Pallas decode kernel
+    (``kernels/fp6_matmul.py``, the reference's fp6-LLM hot path
+    ``csrc/cuda/fp6_llm/fp6_linear.cu``); other widths dequantize."""
+    if _use_pallas(preference):
+        from torchao_tpu.kernels import fp6_matmul
+
+        impl = fp6_matmul.fp6_dq_matmul_available(x, w)
+        if impl is not None:
+            out = impl(x, w)
+            return out + bias if bias is not None else out
+    wd = w.dequantize(x.dtype)
+    out = jnp.matmul(x, wd.T)
+    return out + bias if bias is not None else out
+
+
+register_qlinear_dispatch("fpx_weight", _check_fpx_weight, _impl_fpx_weight)
