@@ -835,68 +835,6 @@ def test_fp8_mixed_matmul_stacked_layer_idx():
             )
 
 
-def test_ffn_int4_megakernel_matches_reference():
-    """Single-launch FFN megakernel (w13 -> silu*mul -> w2, interpret)
-    matches the two-matmul dequant reference across stacked layers."""
-    from torchao_tpu.kernels.ffn_fused import ffn_int4_fused
-    from torchao_tpu.quantization.quant_api import (
-        Int4WeightOnlyConfig,
-        quantize_,
-    )
-    from torchao_tpu.utils import compute_error
-
-    rs = np.random.RandomState(0)
-    L, D, I, g = 2, 2048, 4096, 32
-    w13 = jnp.asarray(rs.randn(L, 2 * I, D) * 0.03, jnp.bfloat16)
-    w2 = jnp.asarray(rs.randn(L, D, I) * 0.03, jnp.bfloat16)
-    q13 = quantize_(
-        {"w": w13}, Int4WeightOnlyConfig(group_size=g), lambda p, l: True
-    )["w"]
-    q2 = quantize_(
-        {"w": w2}, Int4WeightOnlyConfig(group_size=g), lambda p, l: True
-    )["w"]
-    x = jnp.asarray(rs.randn(1, D), jnp.bfloat16)
-    for l in range(L):
-        out = ffn_int4_fused(
-            x, q13.qdata, q13.qparams_eff, q2.qdata, q2.qparams_eff,
-            jnp.int32(l), group_size=g, interpret=True,
-        )
-        w13l = q13.take_layer(jnp.int32(l)).dequantize(jnp.float32)
-        w2l = q2.take_layer(jnp.int32(l)).dequantize(jnp.float32)
-        h1, h3 = jnp.split(x.astype(jnp.float32) @ w13l.T, 2, axis=-1)
-        ref = (jax.nn.silu(h1) * h3) @ w2l.T
-        assert compute_error(ref, out) > 30
-
-
-def test_ffn_int4_megakernel_batched():
-    """bm=4 (serving decode batch) megakernel matches the reference."""
-    from torchao_tpu.kernels.ffn_fused import ffn_int4_fused
-    from torchao_tpu.quantization.quant_api import (
-        Int4WeightOnlyConfig,
-        quantize_,
-    )
-    from torchao_tpu.utils import compute_error
-
-    rs = np.random.RandomState(5)
-    L, D, I, g = 1, 2048, 4096, 32
-    w13 = jnp.asarray(rs.randn(L, 2 * I, D) * 0.03, jnp.bfloat16)
-    w2 = jnp.asarray(rs.randn(L, D, I) * 0.03, jnp.bfloat16)
-    q13 = quantize_(
-        {"w": w13}, Int4WeightOnlyConfig(group_size=g), lambda p, l: True
-    )["w"]
-    q2 = quantize_(
-        {"w": w2}, Int4WeightOnlyConfig(group_size=g), lambda p, l: True
-    )["w"]
-    x = jnp.asarray(rs.randn(4, D), jnp.bfloat16)
-    out = ffn_int4_fused(
-        x, q13.qdata, q13.qparams_eff, q2.qdata, q2.qparams_eff,
-        jnp.int32(0), group_size=g, interpret=True,
-    )
-    w13l = q13.take_layer(jnp.int32(0)).dequantize(jnp.float32)
-    w2l = q2.take_layer(jnp.int32(0)).dequantize(jnp.float32)
-    h1, h3 = jnp.split(x.astype(jnp.float32) @ w13l.T, 2, axis=-1)
-    ref = (jax.nn.silu(h1) * h3) @ w2l.T
-    assert compute_error(ref, out) > 30
 
 
 class TestFp6Kernel:

@@ -825,20 +825,11 @@ def _feed_forward(
     """SwiGLU MLP (reference ``FeedForward``). ``r4`` applies the
     SpinQuant online Hadamard to the gate output (w2 pre-folded)."""
     if "w13" in lw:
-        if not r4 and layer_idx is not None and _pallas_attention_enabled():
-            # single-launch FFN megakernel (w13 → silu·mul → w2): one
-            # Pallas invocation instead of two + the XLA glue between —
-            # launch + pipeline fill/drain costs ~10-16 µs each at 8B
-            # (kernels/ffn_fused.py)
-            from torchao_tpu.kernels.ffn_fused import (
-                ffn_int4_fused_available,
-            )
-
-            impl = ffn_int4_fused_available(
-                x, lw["w13"], lw["w2"], layer_idx
-            )
-            if impl is not None:
-                return impl(x, lw["w13"], lw["w2"])
+        # NOTE: a single-launch FFN megakernel (w13 → silu·mul → w2 in
+        # one Pallas invocation) was built and hardware-adjudicated in
+        # round 2: parity single-stream, −2% at serving batch — the
+        # phase-transition work costs exactly what the saved launch
+        # recovers (PERF.md "megakernel lesson"). Deleted in round 3.
         # merged gate+up projection: ONE kernel invocation over a
         # 2I-wide grid — each extra Pallas launch costs pipeline
         # fill/drain + dispatch (profiled: the 14-step w1/w3 kernels run
