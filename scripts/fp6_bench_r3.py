@@ -94,7 +94,7 @@ def e2e():
             f"tok/s={res['tokens_per_s']:8.2f}, "
             f"mem/s={res['mem_bw_GBps']:8.2f} GB/s, "
             f"model_size={res['model_size_GB']:.2f} GB, "
-            f"quant: fp6 (Pallas kernel), model: Llama-3-8B, "
+            f"quant: fp6 (dual-plane exact, int4+int8 kernels), model: Llama-3-8B, "
             f"kv_quant: int4_smajor, batch: 1\n"
         )
 

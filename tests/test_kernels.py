@@ -966,3 +966,38 @@ class TestFp6Kernel:
             np.asarray(back.dequantize(jnp.float32)),
             np.asarray(qw.dequantize(jnp.float32)),
         )
+
+    def test_dual_plane_exact_and_dispatch(self):
+        """fp6 dual-plane serving form (FloatxArray.to_dual_planes):
+        bit-exact dequant vs the packed 6-bit grid, and the stacked
+        linear dispatch sums the two plane kernels."""
+        from torchao_tpu import ops
+        from torchao_tpu.qtypes.floatx import Fp6DualArray
+        from torchao_tpu.quantization.quant_api import (
+            FPXWeightOnlyConfig,
+            quantize_,
+        )
+
+        w = jax.random.normal(
+            jax.random.PRNGKey(6), (2, 128, 1024), jnp.bfloat16
+        )
+        packed = quantize_(
+            {"w": w}, FPXWeightOnlyConfig(runtime="packed"),
+            filter_fn=lambda p, l: True,
+        )["w"]
+        dual = quantize_(
+            {"w": w}, FPXWeightOnlyConfig(),
+            filter_fn=lambda p, l: True,
+        )["w"]
+        assert isinstance(dual, Fp6DualArray)
+        np.testing.assert_array_equal(
+            np.asarray(packed.dequantize(jnp.float32)),
+            np.asarray(dual.dequantize(jnp.float32)),
+        )
+        # streamed bytes: 1.5/elem + scales (vs 2 for bf16-free int8x2)
+        nbytes = dual.a_plane.qdata.size + dual.b_plane.qdata.size
+        assert nbytes == 2 * 128 * 1024 * 3 // 2
+        x = jax.random.normal(jax.random.PRNGKey(7), (1, 1024), jnp.bfloat16)
+        out = ops.linear(x, dual, layer_idx=jnp.int32(1))
+        ref = jnp.matmul(x, dual.take_layer(1).dequantize(jnp.bfloat16).T)
+        assert compute_error(ref, out) > 30

@@ -42,22 +42,28 @@ from jax.experimental.pallas import tpu as pltpu
 from torchao_tpu.utils import cdiv
 
 
-def _decode_quarter(v4, t2):
-    """bf16 decode of one quarter: v4 ∈ [0,16) the (m, e0, e1) field,
-    t2 ∈ [0,4) the (e2, s) field — both integer-valued bf16."""
-    v4i = v4.astype(jnp.int16)
-    t2i = t2.astype(jnp.int16)
-    m = (v4i & 3).astype(jnp.bfloat16)
-    e0 = (v4i & 4).astype(jnp.bfloat16)          # 0 or 4
-    e1 = (v4i & 8).astype(jnp.bfloat16)          # 0 or 8
-    e2 = (t2i & 1).astype(jnp.bfloat16)          # 0 or 1
-    s = (t2 - e2) * jnp.bfloat16(0.5)            # 0 or 1
-    # nz = [e != 0]: 1 - (1-e0/4')(1-e1')(1-e2) without compares —
-    # e bits as 0/1: a = e0/4, b = e1/8, c = e2
-    a = e0 * jnp.bfloat16(0.25)
-    b = e1 * jnp.bfloat16(0.125)
+def _bit_to_bf16(byte, mask: int, scale: float):
+    """``(byte & mask) * scale`` as bf16 — ONE u8 AND + a widening cast
+    + one multiply. Masks ≥ 128 widen through i16 (u8→i8 would wrap);
+    smaller masks take the denser u8→i8 path. There is deliberately NO
+    bf16→int cast anywhere in this kernel: mixing f→i downcasts with the
+    unpack was measured to trigger pathological Mosaic relayout chains
+    (167 s compiles, 14 GB/s — the round-3 fp6 bisect on hardware)."""
+    v = byte & jnp.uint8(mask)
+    if mask >= 128:
+        f = v.astype(jnp.int16).astype(jnp.bfloat16)
+    else:
+        f = v.astype(jnp.int8).astype(jnp.bfloat16)
+    return f if scale == 1.0 else f * jnp.bfloat16(scale)
+
+
+def _decode_quarter(m, a, b, e2, s):
+    """bf16 decode from 0/1-valued (a=e0, b=e1, e2, s) bit fields and
+    the 0..3 mantissa m: ``v32 = mant · 2^e · sign`` with the exact
+    product identity 2^e = (1+a)(1+3b)(1+15e2) and the subnormal branch
+    folded in arithmetically (nz = [e>0] as a bit product)."""
     nz = 1 - (1 - a) * (1 - b) * (1 - e2)
-    # normals: (4+m)·2^e;  subnormals (e=0): 2·m  (= m·2^(1-bias-mbits)·32)
+    # normals: (4+m)·2^e;  subnormals (e=0): 2·m (= m·2^(1-bias-mbits)·32)
     mant = 2 * m + (4 - m) * nz
     p = (1 + a) * (1 + 3 * b) * (1 + 15 * e2)     # 2^e, exact
     return mant * p * (1 - 2 * s)                 # v32, exact bf16
@@ -81,15 +87,17 @@ def _kernel_fp6(
     xq = (x0_ref, x1_ref, x2_ref, x3_ref)
     for pair, s4_ref in ((0, s4a_ref), (1, s4b_ref)):
         byte = s4_ref[0]
-        lo = (byte & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
-        bf = byte.astype(jnp.int16).astype(jnp.bfloat16)
-        hi = (bf - lo) * jnp.bfloat16(0.0625)
-        for half, v4 in ((0, lo), (1, hi)):
+        for half in (0, 1):
             q = pair + 2 * half                    # quarter index 0..3
-            t2m = (s2 & jnp.uint8(3 << (2 * q))).astype(
-                jnp.int16
-            ).astype(jnp.bfloat16) * jnp.bfloat16(0.25 ** q)
-            w = _decode_quarter(v4, t2m)           # [bkq, bn] = v32
+            # every field is a DIRECT u8 AND on the raw byte at its bit
+            # position, scaled back to 0/1 (0..3 for m) in bf16
+            sh = 4 * half
+            m = _bit_to_bf16(byte, 3 << sh, 1 / (1 << sh))
+            a = _bit_to_bf16(byte, 4 << sh, 1 / (4 << sh))
+            b = _bit_to_bf16(byte, 8 << sh, 1 / (8 << sh))
+            e2 = _bit_to_bf16(s2, 1 << (2 * q), 1 / (1 << (2 * q)))
+            s = _bit_to_bf16(s2, 2 << (2 * q), 1 / (2 << (2 * q)))
+            w = _decode_quarter(m, a, b, e2, s)    # [bkq, bn] = v32
             acc_ref[:] += jnp.dot(
                 xq[q][:], w, preferred_element_type=jnp.float32
             )

@@ -54,15 +54,30 @@ def init_quantized_params(model, config, filter_fn, key):
                 return handler(w, config)
             return w
 
-        # the merged w13 hp temporary ([L, 2I, D] bf16 ≈ 7.5 GB at 8B)
-        # plus quantize intermediates exceeds v5e HBM: init + quantize
-        # out-feature halves separately and concatenate the QUANTIZED
-        # leaves (IntxArray.concat_out_features)
-        n_chunks = 2 if name == "layers.feed_forward.w13" else 1
+        # big hp temporaries (the merged w13 is [L, 2I, D] ≈ 7.5 GB f32
+        # at 8B) plus quantize intermediates exceed v5e HBM: init +
+        # quantize out-feature chunks separately and concatenate the
+        # QUANTIZED leaves. Chunk count scales with element count so
+        # temp-heavy converters (e.g. the fp6 dual-plane build) stay
+        # under budget too.
+        n_elems = 1
+        for d in shape:
+            n_elems *= d
+        # out-features axis: 1 for stacked [L, N, K], 0 for 2-D [N, K]
+        out_ax = 1 if len(shape) == 3 else 0
+        n_chunks = 1
+        while (
+            n_elems // n_chunks > 150_000_000
+            and shape[out_ax] % (2 * n_chunks) == 0
+        ):
+            n_chunks *= 2
         if n_chunks > 1:
             from torchao_tpu.qtypes.intx import IntxArray
 
-            half = (shape[0], shape[1] // n_chunks) + shape[2:]
+            half = tuple(
+                d // n_chunks if i == out_ax else d
+                for i, d in enumerate(shape)
+            )
             ks = jax.random.split(k, n_chunks)
             parts = []
             for kc in ks:

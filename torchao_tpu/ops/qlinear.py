@@ -128,7 +128,13 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
             out = impl(x, w)
             return out + bias if bias is not None else out
 
-    from torchao_tpu.qtypes.floatx import FloatxArray
+    from torchao_tpu.qtypes.floatx import FloatxArray, Fp6DualArray
+
+    if isinstance(w, Fp6DualArray) and w.a_plane.qdata.ndim == 3:
+        out = linear(x, w.a_plane, layer_idx=layer_idx) + linear(
+            x, w.b_plane, layer_idx=layer_idx
+        )
+        return out + bias if bias is not None else out
 
     if isinstance(w, FloatxArray) and w.qdata.ndim == 3:
         from torchao_tpu.kernels import fp6_matmul
@@ -720,3 +726,22 @@ def _impl_fpx_weight(x, w, bias, preference):
 
 
 register_qlinear_dispatch("fpx_weight", _check_fpx_weight, _impl_fpx_weight)
+
+
+def _check_fp6_dual(x, w, bias):
+    from torchao_tpu.qtypes.floatx import Fp6DualArray
+
+    return isinstance(w, Fp6DualArray) and w.ndim == 2
+
+
+def _impl_fp6_dual(x, w, bias, preference):
+    """Exact-fp6 dual-plane path: the nibble plane rides the int4
+    kernel, the high plane the int8 kernel; their sum is the exact fp6
+    matmul (FloatxArray.to_dual_planes)."""
+    out = linear(x, w.a_plane, kernel_preference=preference) + linear(
+        x, w.b_plane, kernel_preference=preference
+    )
+    return out + bias if bias is not None else out
+
+
+register_qlinear_dispatch("fp6_dual", _check_fp6_dual, _impl_fp6_dual)

@@ -193,11 +193,18 @@ class Float8StaticActivationFloat8WeightConfig(AOBaseConfig):
 @dataclasses.dataclass
 class FPXWeightOnlyConfig(AOBaseConfig):
     """Sub-byte float (ExMy, e.g. fp6 = e3m2) weight-only (reference
-    ``quant_api.py:2091-2142``; math from FP6-LLM). Emulated dequant path
-    on TPU (no bit-interleaved kernel — SURVEY.md §2.7 non-goal)."""
+    ``quant_api.py:2091-2142``; math from FP6-LLM).
+
+    ``runtime`` (fp6 only): "dual" (default) serves the EXACT fp6 grid
+    as a nibble+int8 plane pair riding the native int4/int8 MXU kernels
+    (1.5 B/elem streamed — the throughput-true decode path on TPU, see
+    FloatxArray.to_dual_planes); "packed" keeps the 6-bit shards
+    resident (max capacity; decode via the fused Pallas kernel or XLA,
+    both VPU-decode-bound on v5e — PERF.md round 3)."""
 
     ebits: int = 3
     mbits: int = 2
+    runtime: str = "dual"
     version: int = 1
 
 
@@ -576,7 +583,14 @@ def _float8_static_act_float8_weight_transform(
 def _fpx_weight_only_transform(w: jnp.ndarray, config: FPXWeightOnlyConfig):
     from torchao_tpu.qtypes.floatx import FloatxArray
 
-    return FloatxArray.from_hp(w, config.ebits, config.mbits)
+    fx = FloatxArray.from_hp(w, config.ebits, config.mbits)
+    if (
+        getattr(config, "runtime", "dual") == "dual"
+        and config.ebits == 3 and config.mbits == 2
+        and isinstance(fx, FloatxArray) and fx.kmajor
+    ):
+        return fx.to_dual_planes()
+    return fx
 
 
 @register_quantize_module_handler(Float8DynamicActivationInt4WeightConfig)
