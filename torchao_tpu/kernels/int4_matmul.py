@@ -258,92 +258,6 @@ def _kernel_bint8m(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _kernel_bint8u(
-    l_ref,      # scalar prefetch: [1] int32 layer index
-    x3_ref,     # [2nG, bm, g] bf16 — full grouped x (resident)
-    u_ref,      # [1, nch·(1024 + 8·cg), bn] uint8 — the UNIFIED operand:
-                # per canonical chunk, 1024 packed-nibble rows followed
-                # by 4·cg hi-byte + 4·cg lo-byte qparam planes
-                # (qtypes.intx._unify_tiled_operand)
-    out_ref, acc_ref, *, n_k_blocks: int, n_chunks: int,
-    chunk_groups: int, xored: bool = True,
-):
-    """Single-stream variant of ``_kernel_bint8m``: identical math, but
-    weights AND kernel-form qparams arrive in ONE uint8 DMA stream per
-    grid step. The bf16 qparams are reconstructed exactly on the VPU as
-    ``bitcast((hi << 24) | (lo << 16), f32)`` — an f32 whose top 16 bits
-    are the bf16 pattern equals the bf16 value (widening is exact)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    _, _, bn = u_ref.shape
-    two_ng, bm, g = x3_ref.shape
-    nG = two_ng // 2
-    cg = chunk_groups
-    crows = 1024 + 8 * cg
-
-    for c in range(n_chunks):
-        base = c * crows
-        wc = u_ref[0, pl.ds(base, 1024)]
-        lo3 = (wc & jnp.uint8(0xF)).astype(jnp.int8).reshape(cg, g, bn)
-        b3 = (wc if xored else (wc ^ jnp.uint8(0x80))).astype(
-            jnp.int8
-        ).reshape(cg, g, bn)
-
-        hi8 = u_ref[0, pl.ds(base + 1024, 4 * cg)]
-        lo8 = u_ref[0, pl.ds(base + 1024 + 4 * cg, 4 * cg)]
-        # u8→i16→i32 (Mosaic legalizes no direct u8→i32; both hops are
-        # probed-legal), shifts only at i32, then a same-width bitcast
-        hi32 = hi8.astype(jnp.int16).astype(jnp.int32)
-        lo32 = lo8.astype(jnp.int16).astype(jnp.int32)
-        qp = jax.lax.bitcast_convert_type(
-            (hi32 << 24) | (lo32 << 16), jnp.float32
-        )                                                  # [4cg, bn] f32
-        slo = qp[0:cg]
-        shi16 = qp[cg:2 * cg]
-        z2lo = qp[2 * cg:3 * cg]
-        z2hi = qp[3 * cg:4 * cg]
-
-        gbase = k * (n_chunks * cg) + c * cg
-        xlo = x3_ref[pl.ds(gbase, cg)]
-        xhi = x3_ref[pl.ds(nG + gbase, cg)]
-        xcat = jnp.concatenate([xlo, xhi], axis=1)         # [cg, 2bm, g]
-
-        plo = jax.lax.dot_general(
-            xcat, lo3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # [cg, 2bm, bn]
-        pb = jax.lax.dot_general(
-            xhi, b3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # [cg, bm, bn]
-        contrib = (
-            plo[:, :bm, :] * slo[:, None, :]
-            + (pb - plo[:, bm:, :]) * shi16[:, None, :]
-        )
-        acc_ref[:] += jnp.sum(contrib, axis=0)
-
-        rs_lo = jnp.sum(xlo, axis=2)                        # [cg, bm]
-        rs_hi = jnp.sum(xhi, axis=2)
-        acc_ref[:] += jax.lax.dot_general(
-            rs_lo.astype(jnp.float32), z2lo,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] += jax.lax.dot_general(
-            rs_hi.astype(jnp.float32), z2hi,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(k == n_k_blocks - 1)
-    def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
-
-
 def eff_qparams_to_block_major(qeff: jnp.ndarray, chunk_groups: int):
     """Reorder family-major kernel-form qparams ``[.., 4·nG, N]`` into
     the chunked block-major layout the merged kernel consumes: for each
@@ -625,7 +539,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant",
-        "qparams_chunk", "xored", "unified_chunk",
+        "qparams_chunk", "xored",
     ),
 )
 def int4_dq_matmul(
@@ -648,10 +562,6 @@ def int4_dq_matmul(
     #   qparams_eff is in the chunked BLOCK-MAJOR layout (merged-DMA
     #   decode kernel); None = family-major
     xored: bool = False,  # qdata bytes pre-XORed with 0x80
-    unified_chunk: Optional[int] = None,  # wp is the UNIFIED operand
-    #   (packed nibbles + qparam byte planes, qtypes.intx
-    #   ._unify_tiled_operand) with this many groups per chunk: the
-    #   decode kernel streams ONE weight-side operand per grid step
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n]).
 
@@ -665,8 +575,6 @@ def int4_dq_matmul(
         _, Kp, N = wp.shape
     else:
         Kp, N = wp.shape
-    if unified_chunk is not None:
-        Kp = K // 2  # wp rows include the embedded qparam planes
     assert Kp * 2 == K, (K, Kp)
     g_eff = min(group_size, Kp)
     assert Kp % g_eff == 0, (Kp, g_eff)
@@ -727,11 +635,10 @@ def int4_dq_matmul(
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret, layer_idx=layer_idx,
             qparams_chunk=qparams_chunk, xored=xored,
-            unified_chunk=unified_chunk,
         )
     if (
         variant == "banded" and M <= 16
-        and qparams_chunk is not None and unified_chunk is None
+        and qparams_chunk is not None
     ):
         # stacked banded fast path (chunked qparams, zero-copy layers)
         return _banded_stacked_call(
@@ -752,13 +659,6 @@ def int4_dq_matmul(
         qparams_eff = (
             qparams_eff[layer_idx] if qparams_eff is not None else None
         )
-    if unified_chunk is not None:
-        # non-decode variants read plain nibble rows: strip the embedded
-        # qparam planes (an XLA slice — same copy class as the per-layer
-        # slice these variants already materialize)
-        from torchao_tpu.qtypes.intx import _deunify_tiled_qdata
-
-        wp = _deunify_tiled_qdata(wp, unified_chunk)
     if variant == "banded" and M <= 16:
         return _banded_call(
             x, wp, scale, zero, qparams_eff,
@@ -826,7 +726,7 @@ def _pipeline_experiment_knobs():
 def _bint8_call(
     x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
-    qparams_chunk=None, xored=False, unified_chunk=None,
+    qparams_chunk=None, xored=False,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``).
 
@@ -843,8 +743,7 @@ def _bint8_call(
             qparams_eff[None] if qparams_eff is not None else None
         )
         layer_idx = 0
-    _, WProws, N = wp.shape
-    Kp = K // 2
+    _, Kp, N = wp.shape
     g = group_size
     nG = Kp // g            # groups per packed half
     bg = bkp // g
@@ -855,57 +754,6 @@ def _bint8_call(
     assert bm == M and M <= 16, (M, bm)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
-
-    if unified_chunk is not None:
-        # single-stream kernel: weights + qparam byte planes in ONE
-        # operand (see _kernel_bint8u / qtypes.intx._unify_tiled_operand)
-        cb = unified_chunk
-        crows = 1024 + 8 * cb
-        assert WProws % crows == 0, (WProws, crows)
-        nch_total = WProws // crows
-        nch_step = max(1, min(bkp // 1024, nch_total))
-        while nch_total % nch_step:
-            nch_step -= 1
-        nbk = nch_total // nch_step
-        brows = nch_step * crows
-        lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
-        grid = (cdiv(M, bm), cdiv(N, bn), nbk)
-        kernel = functools.partial(
-            _kernel_bint8u, n_k_blocks=nbk, n_chunks=nch_step,
-            chunk_groups=cb, xored=xored,
-        )
-        pmode, vmem_bytes = _pipeline_experiment_knobs()
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (2 * nG, bm, g), lambda i, j, k, l: (0, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, brows, bn), lambda i, j, k, l: (l[0], k, j),
-                    pipeline_mode=pmode,
-                ),
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-            interpret=interpret,
-            compiler_params=None if interpret else pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-                vmem_limit_bytes=vmem_bytes,
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=6 * M * N * K,
-                bytes_accessed=WProws * N + M * K * 4,
-                transcendentals=0,
-            ),
-        )(lvec, x3, wp)
-        return out
     if qparams_eff is None:
         # derive the interleaved kernel-form qparams per call (tests /
         # direct callers; quantize_ precomputes them as a weight leaf —
@@ -1217,15 +1065,10 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
     int_domain = (
         not symmetric and w.zero_point_domain is ZeroPointDomain.INT
     )
-    if (
-        int_domain
-        and w.qparams_eff is None
-        and getattr(w, "unified_chunk", None) is None
-    ):
+    if int_domain and w.qparams_eff is None:
         # INT zero domain (HQQ/gemlite int4) rides the same kernels via
         # the float-equivalent zero z = (mid − zp)·s — precomputed as
-        # qparams_eff (or folded into the unified operand) at quantize
-        # time; without either, fall back to XLA
+        # qparams_eff at quantize time; without it, fall back to XLA
         return None
     if (
         not symmetric
@@ -1277,7 +1120,6 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
 
         qchunk = getattr(w, "qparams_eff_chunk", None)
         xorf = getattr(w, "nibbles_xored", False)
-        uchunk = getattr(w, "unified_chunk", None)
         tuned = lookup_or_tune(
             "int4_dq_matmul",
             (xb.shape[0], N, K, group_size),
@@ -1287,7 +1129,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
                 w.qparams_eff,
                 group_size=group_size, mid=mid,
                 layer_idx=layer_idx, qparams_chunk=qchunk,
-                xored=xorf, unified_chunk=uchunk, **cfg,
+                xored=xorf, **cfg,
             ),
             example_x=xb,
         )
@@ -1297,8 +1139,7 @@ def int4_dq_matmul_available(x, w, layer_idx=None):
             xb, w.qdata, w.scale, zero,
             w.qparams_eff,
             group_size=group_size, mid=mid, layer_idx=layer_idx,
-            qparams_chunk=qchunk, xored=xorf, unified_chunk=uchunk,
-            **kw,
+            qparams_chunk=qchunk, xored=xorf, **kw,
         )
         return out.reshape(x.shape[:-1] + (N,))
 

@@ -696,11 +696,14 @@ def _attention(
                 quantized_kv_decode_attention_bdq,
             )
 
+            import os as _os
+
             attn = quantized_kv_decode_attention_bdq(
                 q.reshape(B, Hkv, g, Dh),
                 new_cache["k_q"], new_cache["k_scale"],
                 new_cache["v_q"], new_cache["v_scale"],
                 pos_vec,
+                bs=int(_os.environ.get("TORCHAO_TPU_ATTN_BS", "1024")),
                 layer_idx=lidx,
             )  # [B, Hkv, g, Dh] f32
             out = attn.reshape(B, 1, H * Dh).astype(x.dtype)

@@ -326,14 +326,10 @@ def _check_int4_weight_only(x, w, bias):
         and (
             w.zero_point_domain is ZeroPointDomain.FLOAT
             # INT-domain int4 (HQQ / gemlite) rides the same kernel via
-            # the precomputed float-equivalent zero (in qparams_eff or
-            # folded into the unified operand)
+            # the precomputed float-equivalent zero (in qparams_eff)
             or (
                 w.zero_point_domain is ZeroPointDomain.INT
-                and (
-                    getattr(w, "qparams_eff", None) is not None
-                    or getattr(w, "unified_chunk", None) is not None
-                )
+                and getattr(w, "qparams_eff", None) is not None
             )
         )
     )
@@ -372,8 +368,6 @@ def _xla_tiled_int4_linear(x, w: IntxArray):
     own activation columns instead: both dots are shard-local and XLA
     inserts one psum. Identical math to dequantize+matmul."""
     if w.packing_format is not PackingFormat.TILED_NIBBLES:
-        return None
-    if getattr(w, "unified_chunk", None) is not None:
         return None
     N, K = w.shape[-2:]
     Kp = K // 2

@@ -119,47 +119,6 @@ def _tiled_eff_qparams_chunked(
     return qe, None
 
 
-def _unify_tiled_operand(qdata, qe_chunked, chunk_groups):
-    """Fold chunked block-major kernel-form qparams INTO the packed
-    nibble stream as raw bytes: ONE uint8 weight-side operand so the
-    decode kernel issues a single DMA stream per grid step (round-3
-    VERDICT #1 lever — 2 streams → 1).
-
-    Layout per canonical chunk (ck = 1024 packed rows, cg = 1024/g
-    groups): [ck nibble rows | 4·cg hi-byte rows | 4·cg lo-byte rows],
-    where the byte rows are the bf16 qparams bit-split into planes. The
-    kernel reconstructs f32 qparams exactly via
-    ``bitcast((hi << 24) | (lo << 16), f32)`` — an f32 whose top 16 bits
-    are the bf16 pattern IS the bf16 value widened."""
-    import jax
-
-    *lead, Kp, N = qdata.shape
-    cb = int(chunk_groups)
-    nch = Kp // 1024
-    assert qe_chunked.shape[-2] == 4 * cb * nch, (
-        qe_chunked.shape, cb, nch
-    )
-    u16 = jax.lax.bitcast_convert_type(
-        qe_chunked.astype(jnp.bfloat16), jnp.uint16
-    )
-    hi = (u16 >> 8).astype(jnp.uint8).reshape(*lead, nch, 4 * cb, N)
-    lo = (u16 & 0xFF).astype(jnp.uint8).reshape(*lead, nch, 4 * cb, N)
-    qd = qdata.reshape(*lead, nch, 1024, N)
-    out = jnp.concatenate([qd, hi, lo], axis=-2)
-    return out.reshape(*lead, nch * (1024 + 8 * cb), N)
-
-
-def _deunify_tiled_qdata(q, chunk_groups):
-    """Strip the embedded qparam byte rows back out of a unified operand
-    (the inverse of :func:`_unify_tiled_operand`, nibble rows only)."""
-    *lead, R, N = q.shape
-    cb = int(chunk_groups)
-    rows = 1024 + 8 * cb
-    nch = R // rows
-    q = q.reshape(*lead, nch, rows, N)
-    return q[..., :1024, :].reshape(*lead, nch * 1024, N)
-
-
 def _nbits_of(target_dtype: str) -> int:
     return int(target_dtype.lstrip("uint").lstrip("int") or 8)
 
@@ -197,11 +156,6 @@ class IntxArray(QuantizedArray):
     # bitcast ((b'&0xF) == (byte&0xF), so the low nibble is unchanged) —
     # halves the per-byte VPU unpack work on the weight stream.
     nibbles_xored: bool = static_field(default=False)
-    # When set: qdata is the UNIFIED operand (packed nibbles + qparam
-    # byte planes interleaved per canonical chunk of this many groups —
-    # see _unify_tiled_operand); qparams_eff is None (folded in) and the
-    # decode kernel streams ONE weight-side operand per grid step.
-    unified_chunk: Optional[int] = static_field(default=None)
 
     # --- pytree-facing ----------------------------------------------------
     @property
@@ -310,28 +264,9 @@ class IntxArray(QuantizedArray):
                 scale, zero_point, quant_min, quant_max,
                 zero_point_domain, block_size[-1],
             )
-            unified_chunk = None
-            import os as _os
-
-            # Opt-in (TORCHAO_TPU_INT4_UNIFIED=1): single-chip decode
-            # surfaces (bench, generate CLI, serving) enable it; the
-            # default stays off because K-axis (row-parallel TP)
-            # sharding needs whole canonical chunks per shard and e.g.
-            # w2's K=14336 has 7 chunks — indivisible by 2/4/8 devices.
-            if (
-                qparams_eff_chunk is not None
-                and _os.environ.get("TORCHAO_TPU_INT4_UNIFIED") == "1"
-            ):
-                qdata = _unify_tiled_operand(
-                    qdata, qparams_eff, qparams_eff_chunk
-                )
-                unified_chunk = qparams_eff_chunk
-                qparams_eff = None
-                qparams_eff_chunk = None
         else:
             qparams_eff = None
             qparams_eff_chunk = None
-            unified_chunk = None
 
         if packing_format is PackingFormat.BIT_SHARDS:
             from torchao_tpu.qtypes.packing import pack_uintx
@@ -364,7 +299,6 @@ class IntxArray(QuantizedArray):
             nibbles_xored=(
                 packing_format is PackingFormat.TILED_NIBBLES
             ),
-            unified_chunk=unified_chunk,
         )
 
     # --- slicing (TP / serving weight loading) -----------------------------
@@ -471,8 +405,6 @@ class IntxArray(QuantizedArray):
                 q = (q.astype(jnp.int32) + self.quant_min).astype(jnp.int8)
             return q
         qd = self.qdata
-        if self.unified_chunk is not None:
-            qd = _deunify_tiled_qdata(qd, self.unified_chunk)
         if self.nibbles_xored:
             qd = qd ^ jnp.uint8(0x80)
         q = unpack_int4(jnp.swapaxes(qd, -1, -2), axis=-1)
