@@ -652,7 +652,12 @@ def int4_dq_matmul(
         # derive their forms from scale/zero instead
         qparams_eff = None
     if layer_idx is not None:
-        # non-bint8 variants: materialize the layer slice (XLA copy)
+        # non-bint8 variants: materialize the layer slice (XLA copy).
+        # NOTE a scalar-prefetch stacked variant of the fused prefill
+        # kernel was built and measured e2e in round 3: serving
+        # full-workload 710.5 vs 775.5 tok/s — the per-pass slice
+        # copies overlap better with prefill compute than the
+        # prefetch-indexed stream does; reverted.
         wp = wp[layer_idx]
         scale = scale[layer_idx]
         zero = zero[layer_idx] if zero is not None else None
