@@ -158,22 +158,42 @@ class SAM2VideoPredictor:
         fused = tokens + ops.linear(prob, params["mask_embed"]["weight"])
         return ops.linear(fused, params["memory_proj"]["weight"])
 
+    def _frame_step(self):
+        """One jitted per-frame step (encode → memory cross-attention →
+        decode → memory encode). Cached so the host frame loop runs
+        ≤ memory_size+1 compiled programs (one per bank length) instead
+        of eager op-by-op — required on the remote TPU backend where
+        eager dispatch pays a network round trip per op."""
+        if not hasattr(self, "_frame_step_fn"):
+            @jax.jit
+            def step(params, frame, memory):
+                tokens = self.encode_frame(params, frame)
+                cond = (
+                    tokens if memory is None
+                    else self._condition_on_memory(params, tokens, memory)
+                )
+                masks, iou = self.decode_masks(params, cond)
+                mem = self._to_memory(params, cond, masks)
+                return masks, iou, mem
+
+            self._frame_step_fn = step
+        return self._frame_step_fn
+
     def propagate_in_video(
         self, params, frames: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """frames [T, B, H, W, 3] → (masks [T, B, M, N], ious [T, B, M]),
-        with a rolling ``memory_size``-frame bank (host loop over frames).
-        """
+        with a rolling ``memory_size``-frame bank (host loop over frames,
+        one jitted program per bank length)."""
+        step = self._frame_step()
         memory: Optional[jnp.ndarray] = None
         bank: List[jnp.ndarray] = []
         masks_out, ious_out = [], []
         for t in range(frames.shape[0]):
-            tokens = self.encode_frame(params, frames[t])
-            cond = self._condition_on_memory(params, tokens, memory)
-            masks, iou = self.decode_masks(params, cond)
+            masks, iou, mem = step(params, frames[t], memory)
             masks_out.append(masks)
             ious_out.append(iou)
-            bank.append(self._to_memory(params, cond, masks))
+            bank.append(mem)
             bank = bank[-self.args.memory_size:]
             memory = jnp.concatenate(bank, axis=1)
         return jnp.stack(masks_out), jnp.stack(ious_out)
