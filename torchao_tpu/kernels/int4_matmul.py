@@ -190,14 +190,20 @@ def _kernel_bint8m(
     qp_ref,     # [1, 4·bg, bn] bf16 — ONE merged block-major qparams
                 # block: chunks of 4·cb rows [s_lo|s_hi/16|z2lo|z2hi]
     out_ref, acc_ref, *, n_k_blocks: int, n_chunks: int,
-    xored: bool = False,
+    xored: bool = False, stub: bool = False,
 ):
     """Merged-DMA variant of ``_kernel_bint8``: identical math, but the
     four qparam families arrive in ONE block-major stream (see
     ``qtypes.intx._tiled_eff_qparams`` chunked layout) — 2 DMA streams
     per grid step (weights + qparams) instead of 5. The body processes
     the K block in ``n_chunks`` canonical chunks so the stored layout
-    is independent of the launch-time ``bkp``."""
+    is independent of the launch-time ``bkp``.
+
+    ``stub=True`` is the CEILING PROBE (VERDICT r3 #1): identical
+    BlockSpecs/operands/launch structure, but the dequant is stubbed to
+    one raw-byte MXU pass — no nibble unpack, no qparam math — so the
+    measured rate is the platform's streaming ceiling for this exact
+    launch structure. Results are NOT the matmul."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -210,6 +216,26 @@ def _kernel_bint8m(
     bg = bkp // g
     cg = bg // n_chunks          # groups per canonical chunk
     ck = cg * g                  # packed rows per chunk
+
+    if stub:
+        # one bf16×s8 batched dot over the raw bytes per chunk; qparams
+        # block touched with a single-row read (the DMA streams whole
+        # blocks regardless of how much the body reads)
+        for c in range(n_chunks):
+            wc = wp_ref[0, pl.ds(c * ck, ck)].astype(jnp.int8)
+            xlo = x3_ref[pl.ds(k * bg + c * cg, cg)]
+            p = jax.lax.dot_general(
+                xlo, wc.reshape(cg, g, bn), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] += jnp.sum(p, axis=0)
+        acc_ref[:] += qp_ref[0, :bm].astype(jnp.float32) * 1e-30
+
+        @pl.when(k == n_k_blocks - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+        return
 
     for c in range(n_chunks):
         wc = wp_ref[0, pl.ds(c * ck, ck)]
@@ -539,7 +565,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "group_size", "mid", "bm", "bn", "bkp", "interpret", "variant",
-        "qparams_chunk", "xored",
+        "qparams_chunk", "xored", "stub",
     ),
 )
 def int4_dq_matmul(
@@ -562,6 +588,7 @@ def int4_dq_matmul(
     #   qparams_eff is in the chunked BLOCK-MAJOR layout (merged-DMA
     #   decode kernel); None = family-major
     xored: bool = False,  # qdata bytes pre-XORed with 0x80
+    stub: bool = False,   # CEILING PROBE: stream-only body (wrong math)
 ) -> jnp.ndarray:
     """out[m, n] = Σ_k x[m, k] · ((q[n, k] − mid)·s[k//g, n] + z[k//g, n]).
 
@@ -634,7 +661,7 @@ def int4_dq_matmul(
             x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
             interpret=interpret, layer_idx=layer_idx,
-            qparams_chunk=qparams_chunk, xored=xored,
+            qparams_chunk=qparams_chunk, xored=xored, stub=stub,
         )
     if (
         variant == "banded" and M <= 16
@@ -731,7 +758,7 @@ def _pipeline_experiment_knobs():
 def _bint8_call(
     x, wp, scale, zero, qparams_eff=None,
     *, group_size, mid, bm, bn, bkp, interpret, layer_idx=None,
-    qparams_chunk=None, xored=False,
+    qparams_chunk=None, xored=False, stub=False,
 ):
     """Launch the batched-int8 variant (see ``_kernel_bint8``).
 
@@ -804,7 +831,7 @@ def _bint8_call(
         grid = (cdiv(M, bm), cdiv(N, bn), nbk)
         kernel = functools.partial(
             _kernel_bint8m, n_k_blocks=nbk, n_chunks=bg // cb,
-            xored=xored,
+            xored=xored, stub=stub,
         )
         pmode, vmem_bytes = _pipeline_experiment_knobs()
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -838,12 +865,15 @@ def _bint8_call(
             cost_estimate=pl.CostEstimate(
                 flops=6 * M * N * K,
                 bytes_accessed=Kp * N
-                + scale.size * 4 // max(wp.shape[0], 1) + M * K * 4,
+                + (scale.size * 4 if scale is not None
+                   else qparams_eff.size * 2) // max(wp.shape[0], 1)
+                + M * K * 4,
                 transcendentals=0,
             ),
         )(lvec, x3, wp, qparams_eff)
         return out
 
+    assert not stub, "stub (ceiling probe) requires chunked qparams_eff"
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
     kernel = functools.partial(_kernel_bint8, n_k_blocks=nbk, xored=xored)
     pmode, vmem_bytes = _pipeline_experiment_knobs()
