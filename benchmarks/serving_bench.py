@@ -99,12 +99,57 @@ def main():
     eng.run_to_completion(chunk=args.chunk)
     eng.completed.clear()
 
+    # instrumented run: per-request TTFT + TPOT (serving-engine
+    # reporting norms — VERDICT r3 #6) and admission-pass overhead as a
+    # separate line. All requests are submitted at t0, so TTFT includes
+    # queueing for requests beyond the slot count (the honest
+    # under-load number).
+    admit_s = [0.0]
+    orig_admit = eng._admit
+
+    def timed_admit():
+        a0 = time.perf_counter()
+        out = orig_admit()
+        admit_s[0] += time.perf_counter() - a0
+        return out
+
+    eng._admit = timed_admit
+
     t0 = time.perf_counter()
     for r in reqs:
         eng.add_request(r)
-    eng.run_to_completion(chunk=args.chunk)
+    first_t, counts = {}, {}
+    done_t = {}
+    steps = 0
+    while eng.queue or eng.active:
+        out = (
+            eng.step_n(args.chunk) if args.chunk > 1 else eng.step()
+        )
+        now = time.perf_counter()
+        steps += 1
+        for rid, toks in out.items():
+            n = len(toks) if isinstance(toks, list) else 1
+            if n and rid not in first_t:
+                first_t[rid] = now
+            counts[rid] = counts.get(rid, 0) + n
+        for r in eng.completed:
+            done_t.setdefault(r.request_id, now)
+        if steps > 100000:
+            break
     dt = time.perf_counter() - t0
     total = sum(len(r.output) for r in eng.completed)
+
+    def pct(vals, p):
+        if not vals:
+            return None
+        v = sorted(vals)
+        return round(v[min(len(v) - 1, int(p * len(v)))] * 1e3, 1)
+
+    ttfts = [first_t[rid] - t0 for rid in first_t]
+    tpots = [
+        (done_t[rid] - first_t[rid]) / max(counts[rid] - 1, 1)
+        for rid in done_t if rid in first_t
+    ]
     print(json.dumps({
         "metric": "serving_aggregate_tok_s",
         "model": "tiny" if args.small else args.model,
@@ -117,6 +162,12 @@ def main():
         "wall_s": round(dt, 2),
         "value": round(total / dt, 2),
         "unit": "tok/s",
+        "ttft_ms_p50": pct(ttfts, 0.50),
+        "ttft_ms_p99": pct(ttfts, 0.99),
+        "tpot_ms_p50": pct(tpots, 0.50),
+        "tpot_ms_p99": pct(tpots, 0.99),
+        "admission_s": round(admit_s[0], 3),
+        "admission_pct": round(100 * admit_s[0] / dt, 1),
     }), flush=True)
 
 

@@ -58,11 +58,24 @@ class ModelArgs:
     # aligned tensor parallelism (parallel.sharding.interleave_qkv_params)
     # and the q/k/v split is per-block — see _attention
     qkv_device_blocks: int = 1
+    # >1: the merged w13 out-features are interleaved device-major
+    # ([w1_d | w3_d] per block — parallel.sharding.interleave_w13_params)
+    # and the gate/up split is per-block — see _feed_forward
+    ffn_device_blocks: int = 1
     # SpinQuant R3: online per-head Hadamard on q and k after RoPE.
     # Score-invariant ((qH)(kH)ᵀ = qkᵀ), so it needs no weight folding;
     # its purpose is flattening K's per-token distribution before the
     # quantized KV cache (int8/int4) quantizes it.
     use_r3_hadamard: bool = False
+    # Manual tensor parallelism (shard_map): set on the LOCAL ModelArgs
+    # by parallel.tp.tp_local_args — the forward then runs on per-device
+    # shard shapes and inserts the canonical Megatron collectives itself
+    # (psum after the row-parallel wo/w2, vocab all-gather after the
+    # column-parallel head). Required for the Pallas-kernel TP path:
+    # Mosaic custom calls cannot be auto-partitioned by GSPMD, so
+    # multi-chip TPU decode wraps the forward in shard_map
+    # (parallel/tp.py) instead of relying on sharding propagation.
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         if self.n_local_heads == -1:
@@ -463,17 +476,26 @@ def _smajor_update(layer_cache, k, v, input_pos, l=None):
         fused_write_available,
     )
 
-    if fused_write_available(layer_cache, k, input_pos, l):
-        # serving decode (vector positions, T=1): ONE Pallas call per
-        # layer-step replaces 4·B chained DUS ops (banded in-place RMW
-        # windows at each slot's position — ROADMAP round-3 item 2)
+    # scalar positions (single-stream decode) ride the same fused write
+    # as a broadcast vector: the round-4 8k profile found the scalar
+    # k_q/v_q DUS into the scan-carried stacked cache materializing TWO
+    # full cache-slab copies per layer-step in front of the Pallas
+    # attention kernel (~0.5 ms/step at S=8k — invisible at short ctx).
+    pos_fused = (
+        input_pos if getattr(input_pos, "ndim", 0) == 1
+        else jnp.full((B,), input_pos, jnp.int32)
+    )
+    if fused_write_available(layer_cache, k, pos_fused, l):
+        # decode (T=1): ONE Pallas call per layer-step replaces 4·B
+        # chained DUS ops (banded in-place RMW windows at each slot's
+        # position — ROADMAP round-3 item 2)
         X = Hkv * Dh
         kq, vq, ksc, vsc = fused_smajor_token_write(
             layer_cache["k_q"], layer_cache["v_q"],
             layer_cache["k_scale"], layer_cache["v_scale"],
             k_q.reshape(B, X), v_q.reshape(B, X),
             k_s.reshape(B, Hkv), v_s.reshape(B, Hkv),
-            input_pos, l,
+            pos_fused, l,
         )
         return {"k_q": kq, "v_q": vq, "k_scale": ksc, "v_scale": vsc}
 
@@ -615,6 +637,15 @@ def _lin(x, w, layer_idx):
     return ops.linear(x, w, layer_idx=layer_idx)
 
 
+def _row_parallel_out(out, args):
+    """Manual-TP partial-sum reduction after a row-parallel linear
+    (wo / w2): each shard holds K/m input features, so shard outputs are
+    partial sums — one psum per block, the canonical Megatron count."""
+    if args.tp_axis is not None:
+        out = jax.lax.psum(out, args.tp_axis)
+    return out
+
+
 def _attention(
     x: jnp.ndarray,
     lw: Dict[str, Any],
@@ -707,7 +738,7 @@ def _attention(
                 layer_idx=lidx,
             )  # [B, Hkv, g, Dh] f32
             out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
-            out = _lin(out, lw["wo"], layer_idx)
+            out = _row_parallel_out(_lin(out, lw["wo"], layer_idx), args)
             return out, new_cache
         kq_h, ks_h, vq_h, vs_h = _smajor_to_hmajor(
             new_cache, Hkv, Dh, l=lidx
@@ -732,7 +763,7 @@ def _attention(
                 .reshape(B, T, H * Dh)
                 .astype(x.dtype)
             )
-            out = _lin(out, lw["wo"], layer_idx)
+            out = _row_parallel_out(_lin(out, lw["wo"], layer_idx), args)
             return out, new_cache
         # XLA fallback (CPU): dequantize like the reference KV cache
         if kq_h.dtype == jnp.uint8:  # packed int4
@@ -793,7 +824,7 @@ def _attention(
                 .reshape(B, T, H * Dh)
                 .astype(x.dtype)
             )
-            out = _lin(out, lw["wo"], layer_idx)
+            out = _row_parallel_out(_lin(out, lw["wo"], layer_idx), args)
             return out, new_cache
         k_full, v_full, new_cache = _update_layer_cache(
             layer_cache, k, v, input_pos
@@ -817,13 +848,18 @@ def _attention(
         "bhgts,bhsd->bhgtd", probs.astype(v_full.dtype), v_full,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    out = out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3).reshape(B, T, D)
-    out = _lin(out, lw["wo"], layer_idx)
+    # H·Dh, not D: under manual TP (tp_axis) the local head count makes
+    # the attention output narrower than the (global) model dim
+    out = out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3).reshape(
+        B, T, H * Dh
+    )
+    out = _row_parallel_out(_lin(out, lw["wo"], layer_idx), args)
     return out, new_cache
 
 
 def _feed_forward(
-    x: jnp.ndarray, lw: Dict[str, Any], r4: bool = False, layer_idx=None
+    x: jnp.ndarray, lw: Dict[str, Any], r4: bool = False, layer_idx=None,
+    ffn_blocks: int = 1,
 ) -> jnp.ndarray:
     """SwiGLU MLP (reference ``FeedForward``). ``r4`` applies the
     SpinQuant online Hadamard to the gate output (w2 pre-folded)."""
@@ -839,7 +875,20 @@ def _feed_forward(
         # at ~82% streaming efficiency vs 95% for the long-grid output
         # head), so halving FFN launches buys ~0.3 ms/decode-step at 8B
         h13 = _lin(x, lw["w13"], layer_idx)
-        h1, h3 = jnp.split(h13, 2, axis=-1)
+        if ffn_blocks > 1:
+            # TP-aligned merged projection: w13 rows interleaved
+            # device-major ([w1_d | w3_d] per block — see
+            # parallel.sharding.interleave_w13_params), so the gate/up
+            # split is per-block and shard-local (the naive middle
+            # split crosses shard boundaries, exactly the fused-qkv
+            # resharding failure mode found in round 3)
+            *lead, twoI = h13.shape
+            ipd = twoI // (2 * ffn_blocks)
+            h4 = h13.reshape(*lead, ffn_blocks, 2 * ipd)
+            h1 = h4[..., :ipd].reshape(*lead, twoI // 2)
+            h3 = h4[..., ipd:].reshape(*lead, twoI // 2)
+        else:
+            h1, h3 = jnp.split(h13, 2, axis=-1)
     else:
         # legacy split layout (older checkpoints)
         h1 = _lin(x, lw["w1"], layer_idx)
@@ -929,12 +978,13 @@ def transformer_forward(
             layer_idx=l,
         )
         x = x + h
-        x = x + _feed_forward(
+        x = x + _row_parallel_out(_feed_forward(
             rms_norm(x, lws["ffn_norm"]["weight"][l], args.norm_eps),
             lws["feed_forward"],
             r4=args.use_r4_hadamard,
             layer_idx=l,
-        )
+            ffn_blocks=args.ffn_device_blocks,
+        ), args)
         return x, new_cache
 
     layer_ids = jnp.arange(args.n_layer, dtype=jnp.int32)
@@ -959,12 +1009,13 @@ def transformer_forward(
                 layer_idx=l, stacked_cache=True,
             )
             x = x + h
-            x = x + _feed_forward(
+            x = x + _row_parallel_out(_feed_forward(
                 rms_norm(x, lws["ffn_norm"]["weight"][l], args.norm_eps),
                 lws["feed_forward"],
                 r4=args.use_r4_hadamard,
                 layer_idx=l,
-            )
+                ffn_blocks=args.ffn_device_blocks,
+            ), args)
             return (x, c), None
 
         (x, new_cache), _ = jax.lax.scan(body_c, (x, cache), layer_ids)
@@ -985,6 +1036,12 @@ def transformer_forward(
         logits = ops.linear(x, params["tok_embeddings"]["weight"])
     else:
         logits = ops.linear(x, params["output"]["weight"])
+        if args.tp_axis is not None:
+            # column-parallel head: every shard holds V/m vocab rows —
+            # gather the full logits (tiled along the vocab dim)
+            logits = jax.lax.all_gather(
+                logits, args.tp_axis, axis=logits.ndim - 1, tiled=True
+            )
     return logits, new_cache
 
 

