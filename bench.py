@@ -73,6 +73,16 @@ def weight_read_bytes_per_token(params) -> int:
 
     def leaf_bytes(leaf) -> int:
         if isinstance(leaf, QuantizedArray):
+            if not hasattr(leaf, "qdata"):
+                # wrapper arrays (int8dq's LinearActivationQuantized,
+                # fp6's Fp6Dual): sum their inner quantized planes
+                inner = [
+                    v for v in vars(leaf).values()
+                    if isinstance(v, QuantizedArray)
+                ]
+                if inner:
+                    return sum(leaf_bytes(v) for v in inner)
+                return 0
             eff = getattr(leaf, "qparams_eff", None)
             reads = [leaf.qdata]
             if eff is not None:

@@ -1,0 +1,198 @@
+"""Speculative decoding: produce a measured NET WIN on hardware
+(VERDICT r3 #4).
+
+Random weights give ~0 draft/target agreement, so every previous round
+could only price the machinery (0.923x at acceptance 0.962 with an
+identical draft — which by construction cannot win). This script
+manufactures the missing ingredient inside the zero-egress environment:
+it TRAINS a mid-size target (12x2048, ~0.6B params — decode is
+weight-bound on the v5e) and a tiny draft (2x256) on the same Markov
+corpus ON THE TPU, quantizes the target int4-g32, and measures
+wall-clock speculative vs vanilla decode plus acceptance, for:
+
+  - the trained tiny draft at spec_k in {3, 5} (the classic setup),
+  - early-exit drafts (first n of 12 layers) at n in {2, 4} — two
+    (n, k) points to validate the PERF.md projection formula
+    speedup = tokens/round(alpha) / (k*n/L + 1 + 0.05*(k+1)).
+
+One JSON line per configuration.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception as e:
+    print("compile cache not available:", e, flush=True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchao_tpu.models.llama.generate import (
+    make_decode_n_tokens,
+    make_prefill,
+)
+from torchao_tpu.models.llama.model import (
+    ModelArgs,
+    Transformer,
+    default_linear_filter,
+)
+from torchao_tpu.models.llama.speculative import (
+    early_exit_draft,
+    make_speculative_decode,
+)
+from torchao_tpu.quantization.quant_api import (
+    Int4WeightOnlyConfig,
+    quantize_,
+)
+from torchao_tpu.testing.synthetic import markov_corpus, train_tiny_llama
+
+VOCAB = 256
+NEW_TOKENS = 255
+PROMPT = 128
+MAX_SEQ = 1024  # KV 1024-multiple rule
+
+
+def train_model(margs, toks, steps, lr, seed):
+    import optax
+
+    model = Transformer(margs, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    t0 = time.time()
+    params, loss = train_tiny_llama(
+        model, params, toks, steps=steps, seq_len=64, batch=16,
+        lr=optax.cosine_decay_schedule(lr, steps), seed=seed,
+    )
+    print(json.dumps({
+        "trained": f"{margs.n_layer}x{margs.dim}",
+        "steps": steps, "loss": round(float(loss), 4),
+        "train_s": round(time.time() - t0, 1),
+    }), flush=True)
+    return params
+
+
+def main():
+    toks, theo = markov_corpus(0, VOCAB, 120000)
+    train = toks[:110000]
+
+    targs = ModelArgs(
+        block_size=MAX_SEQ, vocab_size=VOCAB, n_layer=12, n_head=16,
+        n_local_heads=16, dim=2048, intermediate_size=5632,
+        rope_base=10000,
+    )
+    dargs = ModelArgs(
+        block_size=MAX_SEQ, vocab_size=VOCAB, n_layer=2, n_head=4,
+        n_local_heads=4, dim=256, intermediate_size=512,
+        rope_base=10000,
+    )
+
+    tparams_f32 = train_model(targs, train, steps=400, lr=3e-4, seed=0)
+    dparams_f32 = train_model(dargs, train, steps=400, lr=3e-3, seed=1)
+
+    # inference: bf16 models; target quantized int4-g32
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        t,
+    )
+    model = Transformer(targs, dtype=jnp.bfloat16)
+    draft = Transformer(dargs, dtype=jnp.bfloat16)
+    params = quantize_(
+        to_bf16(tparams_f32), Int4WeightOnlyConfig(group_size=32),
+        default_linear_filter,
+    )
+    dparams = to_bf16(dparams_f32)
+    del tparams_f32, dparams_f32
+
+    prompt = jnp.asarray(train[:PROMPT][None, :].copy(), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    prefill = make_prefill(model)
+    decode_n = make_decode_n_tokens(model, NEW_TOKENS)
+
+    # ---- vanilla baseline ------------------------------------------------
+    def run_vanilla():
+        cache = model.setup_caches(1, MAX_SEQ)
+        first, cache = prefill(params, prompt, cache, key, 0.0, None)
+        int(first[0])
+        t0 = time.perf_counter()
+        rest, cache = decode_n(
+            params, first, cache, PROMPT, key, 0.0, None
+        )
+        int(rest[0, -1])
+        return time.perf_counter() - t0
+
+    run_vanilla()
+    t_van = min(run_vanilla() for _ in range(3))
+    van_toks = NEW_TOKENS / t_van
+    print(json.dumps({
+        "config": "vanilla", "tok_s": round(van_toks, 1),
+        "ms_per_tok": round(t_van / NEW_TOKENS * 1e3, 3),
+    }), flush=True)
+
+    # ---- speculative configurations --------------------------------------
+    def run_spec(dmodel, dpar, k, label, n_layers):
+        dprefill = make_prefill(dmodel)
+        spec = make_speculative_decode(model, dmodel, NEW_TOKENS, k)
+
+        def once():
+            cache = model.setup_caches(1, MAX_SEQ + k + 1)
+            dcache = dmodel.setup_caches(1, MAX_SEQ + k + 1)
+            first, cache = prefill(params, prompt, cache, key, 0.0, None)
+            _, dcache = dprefill(dpar, prompt, dcache, key, 0.0, None)
+            int(first[0])
+            t0 = time.perf_counter()
+            rest, cache, dcache, st = spec(
+                params, dpar, prompt[:, -1], first, cache, dcache,
+                PROMPT, key, 0.0, None,
+            )
+            int(rest[0, -1])
+            return time.perf_counter() - t0, st
+
+        try:
+            once()
+            best, st = None, None
+            for _ in range(3):
+                dt, s = once()
+                if best is None or dt < best:
+                    best, st = dt, s
+            rounds, drafted, accepted = (int(x) for x in st)
+            alpha = accepted / max(drafted, 1)
+            tokens_per_round = (NEW_TOKENS) / max(rounds, 1)
+            L = targs.n_layer
+            proj = tokens_per_round / (
+                k * n_layers / L + 1 + 0.05 * (k + 1)
+            ) if n_layers else None
+            print(json.dumps({
+                "config": label, "spec_k": k,
+                "tok_s": round(NEW_TOKENS / best, 1),
+                "speedup_vs_vanilla": round(t_van / best, 3),
+                "acceptance": round(alpha, 4),
+                "rounds": rounds,
+                "tokens_per_round": round(tokens_per_round, 2),
+                "projection_formula_speedup":
+                    round(proj, 3) if proj else None,
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "config": label, "spec_k": k,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
+
+    for k in (3, 5):
+        run_spec(draft, dparams, k, "trained_tiny_draft", None)
+
+    for n in (2, 4):
+        emodel, eparams = early_exit_draft(model, params, n)
+        run_spec(emodel, eparams, 3, f"early_exit_n{n}", n)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,17 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
     from torchao_tpu.qtypes.floatx import FloatxArray, Fp6DualArray
 
     if isinstance(w, Fp6DualArray) and w.a_plane.qdata.ndim == 3:
+        from torchao_tpu.kernels import fp6_matmul
+
+        # fused single-launch dual-plane kernel (round 4): halves the
+        # launch count vs riding the int4+int8 kernels separately
+        fused = fp6_matmul.fp6_dual_matmul_available(
+            x, w, layer_idx=layer_idx
+        )
+        if fused is not None:
+            out = fused(x, w)
+            if out is not None:
+                return out + bias if bias is not None else out
         out = linear(x, w.a_plane, layer_idx=layer_idx) + linear(
             x, w.b_plane, layer_idx=layer_idx
         )
