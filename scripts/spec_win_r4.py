@@ -5,13 +5,13 @@ Random weights give ~0 draft/target agreement, so every previous round
 could only price the machinery (0.923x at acceptance 0.962 with an
 identical draft — which by construction cannot win). This script
 manufactures the missing ingredient inside the zero-egress environment:
-it TRAINS a mid-size target (12x2048, ~0.6B params — decode is
+it TRAINS a mid-size target (8x2048, ~0.4B params — decode is
 weight-bound on the v5e) and a tiny draft (2x256) on the same Markov
 corpus ON THE TPU, quantizes the target int4-g32, and measures
 wall-clock speculative vs vanilla decode plus acceptance, for:
 
   - the trained tiny draft at spec_k in {3, 5} (the classic setup),
-  - early-exit drafts (first n of 12 layers) at n in {2, 4} — two
+  - early-exit drafts (first n of 8 layers) at n in {2, 4} — two
     (n, k) points to validate the PERF.md projection formula
     speedup = tokens/round(alpha) / (k*n/L + 1 + 0.05*(k+1)).
 
@@ -69,7 +69,7 @@ def train_model(margs, toks, steps, lr, seed):
     params = model.init_params(jax.random.PRNGKey(seed))
     t0 = time.time()
     params, loss = train_tiny_llama(
-        model, params, toks, steps=steps, seq_len=64, batch=16,
+        model, params, toks, steps=steps, seq_len=64, batch=8,
         lr=optax.cosine_decay_schedule(lr, steps), seed=seed,
     )
     print(json.dumps({
@@ -85,7 +85,7 @@ def main():
     train = toks[:110000]
 
     targs = ModelArgs(
-        block_size=MAX_SEQ, vocab_size=VOCAB, n_layer=12, n_head=16,
+        block_size=MAX_SEQ, vocab_size=VOCAB, n_layer=8, n_head=16,
         n_local_heads=16, dim=2048, intermediate_size=5632,
         rope_base=10000,
     )
