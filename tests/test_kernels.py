@@ -1001,3 +1001,53 @@ class TestFp6Kernel:
         out = ops.linear(x, dual, layer_idx=jnp.int32(1))
         ref = jnp.matmul(x, dual.take_layer(1).dequantize(jnp.bfloat16).T)
         assert compute_error(ref, out) > 30
+
+
+class TestFp6DualFused:
+    """Round-4 single-launch dual-plane fp6 kernel
+    (kernels/fp6_matmul.py::fp6_dual_matmul): exact vs the dequantized
+    dual-plane oracle, stacked layer indexing."""
+
+    def test_fused_dual_matches_dequant(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from torchao_tpu.kernels.fp6_matmul import fp6_dual_matmul
+        from torchao_tpu.qtypes.floatx import FloatxArray
+
+        key = jax.random.PRNGKey(0)
+        N, K, L = 256, 2048, 3
+        w = jax.random.normal(key, (L, N, K), jnp.float32)
+        dual = FloatxArray.from_hp(w, ebits=3, mbits=2).to_dual_planes()
+        x = jax.random.normal(key, (1, K), jnp.bfloat16)
+        for l in (0, 2):
+            ref = jnp.matmul(
+                x.astype(jnp.float32),
+                dual.take_layer(l).dequantize(jnp.float32).T,
+            )
+            out = fp6_dual_matmul(
+                x, dual.a_plane.qdata, dual.b_plane.qdata,
+                dual.a_plane.scale[..., :1, :],
+                layer_idx=l, interpret=True,
+            )
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+            den = float(jnp.max(jnp.abs(ref))) + 1e-9
+            assert err / den < 2e-2, (l, err / den)
+
+    def test_dispatch_uses_fused(self):
+        import jax
+        import jax.numpy as jnp
+
+        from torchao_tpu.kernels.fp6_matmul import (
+            fp6_dual_matmul_available,
+        )
+        from torchao_tpu.qtypes.floatx import FloatxArray
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 2048))
+        dual = FloatxArray.from_hp(w, ebits=3, mbits=2).to_dual_planes()
+        x = jnp.ones((1, 2048), jnp.bfloat16)
+        assert fp6_dual_matmul_available(x, dual, layer_idx=0) is not None
+        # prefill shapes (M > 16) decline the GEMV kernel
+        xb = jnp.ones((32, 2048), jnp.bfloat16)
+        assert fp6_dual_matmul_available(xb, dual, layer_idx=0) is None
