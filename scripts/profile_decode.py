@@ -32,21 +32,22 @@ def main():
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--kv", type=str, default="")
     ap.add_argument("--model", type=str, default="Llama-3-8B")
+    ap.add_argument("--recipe", type=str, default="int4wo-32")
     ap.add_argument("--trace_dir", type=str, default="/tmp/ao_decode_trace")
     args = ap.parse_args()
 
     from bench import init_quantized_llama
+    from torchao_tpu.models.llama.cli import config_from_recipe
     from torchao_tpu.models.llama.generate import make_decode_n_tokens, make_prefill
     from torchao_tpu.models.llama.model import (
         ModelArgs, Transformer, default_linear_filter,
     )
-    from torchao_tpu.quantization.quant_api import Int4WeightOnlyConfig
 
     margs = ModelArgs.from_name(args.model)
     need = args.prompt + args.steps
     margs.block_size = min(margs.block_size, max(4096, need))
     model = Transformer(margs, dtype=jnp.bfloat16)
-    config = Int4WeightOnlyConfig(group_size=32)
+    config = config_from_recipe(args.recipe)
     t0 = time.time()
     params = init_quantized_llama(
         model, config, default_linear_filter, jax.random.PRNGKey(0)
