@@ -67,3 +67,55 @@ if __name__ == "__main__":
     print("SQNR vs unsharded hp (dB):", sqnr)
     assert sqnr > 25
     print("OK")
+
+    # -----------------------------------------------------------------
+    # Part 2 (round 4): the PRODUCTION multi-chip path — shard_map TP.
+    # GSPMD cannot partition Mosaic (Pallas) custom calls, so on real
+    # multi-chip TPU the decode wraps the unmodified single-chip model
+    # in shard_map; the model inserts the Megatron collectives itself.
+    # -----------------------------------------------------------------
+    from torchao_tpu.models.llama.model import (
+        ModelArgs, Transformer, default_linear_filter,
+    )
+    from torchao_tpu.parallel import make_mesh, shard_params
+    from torchao_tpu.parallel.sharding import kv_cache_specs
+    from torchao_tpu.parallel.tp import (
+        make_tp_decode_step, prepare_tp_params_shardmap,
+    )
+    from torchao_tpu.quantization.quant_api import Int4WeightOnlyConfig
+
+    args = ModelArgs(
+        block_size=64, vocab_size=512, n_layer=2, n_head=16,
+        n_local_heads=8, dim=512, intermediate_size=1024,
+        rope_base=10000,
+        # fused projections split per-device block under TP:
+        qkv_device_blocks=n, ffn_device_blocks=n,
+    )
+    model = Transformer(args, dtype=jnp.float32)
+    q = quantize_(
+        model.init_params(jax.random.PRNGKey(0)),
+        Int4WeightOnlyConfig(group_size=32), default_linear_filter,
+    )
+    # interleave wqkv/w13 device-major + re-pack row-parallel nibbles
+    tp_params = prepare_tp_params_shardmap(q, args, n)
+    tmesh = make_mesh({"data": 1, "model": n})
+    sparams = shard_params(tp_params, tmesh)
+    cache = model.setup_caches(2, 32, quantize="int8_smajor")
+    scache = jax.device_put(cache, kv_cache_specs(cache, tmesh))
+
+    step = jax.jit(make_tp_decode_step(model, tmesh))
+    logits, scache = step(
+        sparams, jnp.zeros((2, 1), jnp.int32), 3, scache
+    )
+    ref_model = Transformer(
+        ModelArgs(**{**args.__dict__, "qkv_device_blocks": 1,
+                     "ffn_device_blocks": 1}), dtype=jnp.float32,
+    )
+    ref_logits, _ = ref_model(
+        q, jnp.zeros((2, 1), jnp.int32), 3,
+        ref_model.setup_caches(2, 32, quantize="int8_smajor"),
+    )
+    err = float(jnp.max(jnp.abs(logits - ref_logits)))
+    print("shard_map TP decode max |Δlogits| vs single-device:", err)
+    assert err < 1e-3
+    print("TP OK")
