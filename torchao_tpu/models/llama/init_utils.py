@@ -69,6 +69,11 @@ def init_quantized_params(model, config, filter_fn, key):
         while (
             n_elems // n_chunks > 150_000_000
             and shape[out_ax] % (2 * n_chunks) == 0
+            # keep chunk N lane-aligned: handlers may pick storage
+            # layouts by shape, and a misaligned slice must not pick a
+            # different layout than the whole leaf would (round-4
+            # 8da4w-head lesson)
+            and (shape[out_ax] // (2 * n_chunks)) % 128 == 0
         ):
             n_chunks *= 2
         if n_chunks > 1:

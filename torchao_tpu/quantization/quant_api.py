@@ -426,12 +426,19 @@ def _int8_dyn_act_int4_weight_transform(
     # (kernels/w4a8_matmul.py, the s8s4-CUTLASS analog) can dispatch;
     # other cases keep the PLAIN int8-storage layout.
     Kp = w.shape[-1] // 2
+    # NOTE no out-features (N) alignment gate here: packing eligibility
+    # must not depend on kernel lane rules — the chunked leaf-by-leaf
+    # init (init_utils) quantizes out-feature SLICES whose N is not
+    # 128-aligned and concatenates the quantized parts; gating TILED on
+    # the slice N silently degraded the 8da4w head to a PLAIN int-zp
+    # weight that dequantized 1 GB per decode step (round-4 profile:
+    # 64 tok/s vs 121). Kernel dispatch re-checks alignment on the
+    # CONCATENATED array at call time.
     tiled = (
         config.mapping_type is MappingType.SYMMETRIC
         and w.ndim >= 2                      # incl. stacked [L, N, K]
         and w.shape[-1] % 2 == 0
         and Kp % max(8 * group_size, 128) == 0
-        and w.shape[-2] % 128 == 0
     )
     if tiled:
         inner = IntxArray.from_hp(
