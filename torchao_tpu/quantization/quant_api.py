@@ -611,11 +611,13 @@ def _float8_dyn_act_int4_weight_transform(
         return w
     block_size = tuple([1] * (w.ndim - 1) + [group_size])
     Kp = w.shape[-1] // 2
+    # no out-features alignment gate (see the 8da4w handler note: the
+    # chunked init quantizes N-slices; kernel dispatch re-checks the
+    # concatenated array's alignment)
     tiled = (
         w.ndim >= 2
         and w.shape[-1] % 2 == 0
         and Kp % max(8 * group_size, 128) == 0
-        and w.shape[-2] % 128 == 0
     )
     inner = IntxArray.from_hp(
         w, MappingType.SYMMETRIC, block_size, "int4",
