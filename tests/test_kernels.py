@@ -1051,3 +1051,47 @@ class TestFp6DualFused:
         # prefill shapes (M > 16) decline the GEMV kernel
         xb = jnp.ones((32, 2048), jnp.bfloat16)
         assert fp6_dual_matmul_available(xb, dual, layer_idx=0) is None
+
+
+class TestBatchedInt8MTiled:
+    """Round-4 serving-knee fix: the chunked batched-int8 kernel m-tiles
+    up to M=64 (8-row tiles reuse each streamed weight block), so B=32
+    serving decode stays in the GEMV kernel class."""
+
+    def test_m_tiled_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from torchao_tpu.kernels.int4_matmul import (
+            int4_dq_matmul,
+            int4_dq_matmul_reference,
+        )
+
+        G, K, N, L = 32, 2048, 256, 2
+        kp, ng = K // 2, K // (2 * G)
+        key = jax.random.PRNGKey(0)
+        wp = jax.random.randint(
+            key, (L, kp, N), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        s = (jax.random.uniform(key, (L, 2 * ng, N)) * 0.1 + 0.01).astype(
+            jnp.bfloat16
+        )
+        z = (jax.random.normal(key, (L, 2 * ng, N)) * 0.05).astype(
+            jnp.bfloat16
+        )
+        for M in (24, 32, 64):
+            x = jax.random.normal(
+                jax.random.PRNGKey(M), (M, K), jnp.bfloat16
+            )
+            out = int4_dq_matmul(
+                x, wp, s, z, group_size=G, variant="batched_int8",
+                layer_idx=1, qparams_chunk=32, interpret=True,
+            )
+            ref = int4_dq_matmul_reference(
+                x, wp[1], s[1], z[1], group_size=G
+            )
+            err = float(jnp.max(jnp.abs(
+                out.astype(jnp.float32) - ref.astype(jnp.float32)
+            )))
+            den = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+            assert err / den < 2e-2, (M, err / den)

@@ -237,6 +237,14 @@ def _kernel_bint8m(
 
         return
 
+    # M-tiling (round 4, serving-knee fix): bm > 16 would blow the
+    # [cg, 2bm, bn] f32 partials past VMEM, so m-tiles of ≤16 rows
+    # REUSE each streamed weight block — B=32 serving decode stays in
+    # the GEMV kernel class (one weight read per step) instead of
+    # falling to the fused prefill variant.
+    mt = bm if bm <= 16 else 16
+    n_mt = bm // mt
+
     for c in range(n_chunks):
         wc = wp_ref[0, pl.ds(c * ck, ck)]
         lo3 = (wc & jnp.uint8(0xF)).astype(jnp.int8).reshape(cg, g, bn)
@@ -245,39 +253,40 @@ def _kernel_bint8m(
         ).reshape(cg, g, bn)
 
         base = k * bg + c * cg
-        xlo = x3_ref[pl.ds(base, cg)]
-        xhi = x3_ref[pl.ds(nG + base, cg)]
-        xcat = jnp.concatenate([xlo, xhi], axis=1)       # [cg, 2bm, g]
-
-        plo = jax.lax.dot_general(
-            xcat, lo3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                 # [cg, 2bm, bn]
-        pb = jax.lax.dot_general(
-            xhi, b3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                 # [cg, bm, bn]
         qoff = c * 4 * cg
-        slo = qp_ref[0, pl.ds(qoff, cg)]
-        shi16 = qp_ref[0, pl.ds(qoff + cg, cg)]
+        slo = qp_ref[0, pl.ds(qoff, cg)].astype(jnp.float32)
+        shi16 = qp_ref[0, pl.ds(qoff + cg, cg)].astype(jnp.float32)
         z2lo = qp_ref[0, pl.ds(qoff + 2 * cg, cg)]
         z2hi = qp_ref[0, pl.ds(qoff + 3 * cg, cg)]
-        contrib = (
-            plo[:, :bm, :] * slo.astype(jnp.float32)[:, None, :]
-            + (pb - plo[:, bm:, :])
-            * shi16.astype(jnp.float32)[:, None, :]
-        )
-        acc_ref[:] += jnp.sum(contrib, axis=0)
-        rs_lo = jnp.sum(xlo, axis=2)                      # [cg, bm]
-        rs_hi = jnp.sum(xhi, axis=2)
-        acc_ref[:] += jax.lax.dot_general(
-            rs_lo, z2lo, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] += jax.lax.dot_general(
-            rs_hi, z2hi, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+        for m in range(n_mt):
+            xlo = x3_ref[pl.ds(base, cg), pl.ds(m * mt, mt)]
+            xhi = x3_ref[pl.ds(nG + base, cg), pl.ds(m * mt, mt)]
+            xcat = jnp.concatenate([xlo, xhi], axis=1)   # [cg, 2mt, g]
+
+            plo = jax.lax.dot_general(
+                xcat, lo3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                             # [cg, 2mt, bn]
+            pb = jax.lax.dot_general(
+                xhi, b3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                             # [cg, mt, bn]
+            contrib = (
+                plo[:, :mt, :] * slo[:, None, :]
+                + (pb - plo[:, mt:, :]) * shi16[:, None, :]
+            )
+            acc_ref[pl.ds(m * mt, mt)] += jnp.sum(contrib, axis=0)
+            rs_lo = jnp.sum(xlo, axis=2)                  # [cg, mt]
+            rs_hi = jnp.sum(xhi, axis=2)
+            acc_ref[pl.ds(m * mt, mt)] += jax.lax.dot_general(
+                rs_lo, z2lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[pl.ds(m * mt, mt)] += jax.lax.dot_general(
+                rs_hi, z2hi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(k == n_k_blocks - 1)
     def _():
@@ -630,16 +639,22 @@ def int4_dq_matmul(
     # decode-shaped M defaults to the batched-int8 variant: measured
     # 59.1 vs 42.3 tok/s on the 8B int4wo-g32 headline (1.40×, 277 GB/s
     # effective). [bg, 3·bm, bn] f32 partials live in VMEM, so it is a
-    # small-M (GEMV) design; larger M uses the fused variant.
+    # small-M (GEMV) design; the CHUNKED kernel additionally m-tiles up
+    # to M=64 (round-4 serving-knee fix: B=32 decode reuses each
+    # streamed weight block across 8-row tiles instead of exiting to
+    # the fused prefill variant); larger M uses the fused variant.
+    bint8_max_m = 64 if (
+        qparams_chunk is not None and M % 16 == 0
+    ) else 16
     if variant == "auto":
-        variant = "batched_int8" if M <= 16 else "fused"
-    elif variant in ("batched_int8", "banded") and M > 16:
+        variant = "batched_int8" if M <= bint8_max_m else "fused"
+    elif variant in ("batched_int8", "banded") and M > bint8_max_m:
         # can't honor: [bg·bm, ·] operands/partials exceed VMEM at this M
         import warnings
 
         warnings.warn(
-            f"variant={variant!r} requires M <= 16 (got M={M}); "
-            "running the fused variant instead"
+            f"variant={variant!r} requires M <= {bint8_max_m} (got "
+            f"M={M}); running the fused variant instead"
         )
         variant = "fused"
     if bn is None:
@@ -656,7 +671,7 @@ def int4_dq_matmul(
     nbk = Kp // bkp
     grid = (cdiv(M, bm), cdiv(N, bn), nbk)
 
-    if variant == "batched_int8" and M <= 16:
+    if variant == "batched_int8" and M <= bint8_max_m:
         return _bint8_call(
             x, wp, scale, zero, qparams_eff,
             group_size=g_eff, mid=mid, bm=M, bn=bn, bkp=bkp,
@@ -781,9 +796,12 @@ def _bint8_call(
     bg = bkp // g
     nbk = Kp // bkp
 
-    # decode-shaped M only: one block holds all rows (bm == M ≤ 16), so
-    # the f32 partials [bg, 3·bm, bn] stay well under the 16 MB VMEM cap
-    assert bm == M and M <= 16, (M, bm)
+    # decode-shaped M only: one block holds all rows; partials stay
+    # under VMEM via bm ≤ 16 directly or (chunked kernel) 8-row m-tiles
+    # up to M = 64
+    assert bm == M and (
+        M <= 16 or (qparams_chunk is not None and M <= 64 and M % 16 == 0)
+    ), (M, bm, qparams_chunk)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
     if qparams_eff is None:
