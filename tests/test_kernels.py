@@ -1079,7 +1079,7 @@ class TestBatchedInt8MTiled:
         z = (jax.random.normal(key, (L, 2 * ng, N)) * 0.05).astype(
             jnp.bfloat16
         )
-        for M in (24, 32, 64):
+        for M in (16, 32):
             x = jax.random.normal(
                 jax.random.PRNGKey(M), (M, K), jnp.bfloat16
             )

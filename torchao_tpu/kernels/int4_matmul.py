@@ -643,7 +643,10 @@ def int4_dq_matmul(
     # to M=64 (round-4 serving-knee fix: B=32 decode reuses each
     # streamed weight block across 8-row tiles instead of exiting to
     # the fused prefill variant); larger M uses the fused variant.
-    bint8_max_m = 64 if (
+    # M ≤ 32 measured: 32-slot serving 1049 → 1133 tok/s; M = 64 blows
+    # the 16 MB scoped-VMEM limit on the 128k-vocab head (17.07M) —
+    # larger batches use the fused variant
+    bint8_max_m = 32 if (
         qparams_chunk is not None and M % 16 == 0
     ) else 16
     if variant == "auto":
@@ -800,7 +803,7 @@ def _bint8_call(
     # under VMEM via bm ≤ 16 directly or (chunked kernel) 8-row m-tiles
     # up to M = 64
     assert bm == M and (
-        M <= 16 or (qparams_chunk is not None and M <= 64 and M % 16 == 0)
+        M <= 16 or (qparams_chunk is not None and M <= 32 and M % 16 == 0)
     ), (M, bm, qparams_chunk)
 
     x3 = x.reshape(M, 2 * nG, g).transpose(1, 0, 2)     # [2nG, M, g]
