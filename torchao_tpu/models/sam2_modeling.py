@@ -55,6 +55,12 @@ def _linear(x, lw):
     return out
 
 
+def _gelu(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu defaults
+    # to the tanh approximation — force exact for reference parity
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _mlp(x, lws, act=jax.nn.relu):
     """Reference ``MLP`` (sam2_utils.py): stack of linears, act between."""
     n = len(lws)
@@ -135,25 +141,35 @@ def random_fourier_pe(coords01, gauss_mat):
 
 
 def rotary_2d(q, k, hw: Tuple[int, int], theta=10000.0,
-              num_k_exclude: int = 0):
+              num_k_exclude: int = 0, repeat_freqs_k: bool = False):
     """RoPEAttention's axial 2-D rotary embedding over an h×w token grid
-    (transformer.py:296): half the head dims rotate with the row index,
-    half with the column index. ``num_k_exclude`` trailing k tokens
-    (object-pointer tokens) skip rotation."""
+    (transformer.py:296 + position_encoding.py:173 ``compute_axial_cis``
+    / ``apply_rotary_enc``): the first d/4 head-dim PAIRS rotate with the
+    COLUMN index (t_x = pos % w), the next d/4 with the ROW index
+    (t_y = pos // w); pair j's frequency is ``theta**(-4j/d)`` for both
+    axes. ``num_k_exclude`` trailing k tokens (object-pointer tokens)
+    skip rotation; ``repeat_freqs_k`` tiles the grid angles along k's
+    token axis (cross-attention to an r-frame memory bank —
+    ``RoPEAttention(rope_k_repeat=True)``)."""
     *lead, n, dh = q.shape
     h, w = hw
-    dq = dh // 2  # dims for each axis
     pos = jnp.arange(h * w)
-    py = (pos // w).astype(jnp.float32)
-    px = (pos % w).astype(jnp.float32)
+    ty = (pos // w).astype(jnp.float32)
+    tx = (pos % w).astype(jnp.float32)
+    # freqs_x == freqs_y == theta**(-arange(0, d, 4)[: d//4] / d)
     freqs = 1.0 / (
-        theta ** (jnp.arange(0, dq, 2, dtype=jnp.float32) / dq)
+        theta ** (
+            jnp.arange(0, dh, 4, dtype=jnp.float32)[: dh // 4] / dh
+        )
     )
+    angx = tx[:, None] * freqs[None, :]
+    angy = ty[:, None] * freqs[None, :]
+    ang = jnp.concatenate([angx, angy], axis=-1)  # [h·w, d/2], x first
 
-    def rot(x, ang):
-        # x [..., n, d], ang [n, d/2] (broadcasts over leading dims)
+    def rot(x, a):
+        # x [..., n, d], a [n, d/2] (broadcasts over leading dims)
         x2 = x.reshape(*x.shape[:-1], -1, 2)
-        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        cos, sin = jnp.cos(a), jnp.sin(a)
         xr = jnp.stack(
             [
                 x2[..., 0] * cos - x2[..., 1] * sin,
@@ -163,16 +179,15 @@ def rotary_2d(q, k, hw: Tuple[int, int], theta=10000.0,
         )
         return xr.reshape(x.shape)
 
-    def apply(x, n_tok):
-        grid = min(n_tok, h * w)
-        angy = py[:grid, None] * freqs[None, :]
-        angx = px[:grid, None] * freqs[None, :]
-        ang = jnp.concatenate([angy, angx], axis=-1)  # [grid, d/2]
-        head = rot(x[..., :grid, :], ang)
-        return jnp.concatenate([head, x[..., grid:, :]], axis=-2)
-
-    qr = apply(q, q.shape[-2])
-    kr = apply(k, k.shape[-2] - num_k_exclude)
+    qr = rot(q, ang[: q.shape[-2]])
+    n_rope = k.shape[-2] - num_k_exclude
+    if repeat_freqs_k and n_rope > h * w:
+        r = n_rope // (h * w)
+        ka = jnp.tile(ang, (r, 1))
+    else:
+        ka = ang[:n_rope]
+    head = rot(k[..., :n_rope, :], ka)
+    kr = jnp.concatenate([head, k[..., n_rope:, :]], axis=-2)
     return qr, kr
 
 
@@ -236,6 +251,41 @@ class HieraArgs:
     def channel_list(self):
         plan = self.block_plan()
         return [plan[e]["dim_out"] for e in self.stage_ends][::-1]
+
+
+def _bicubic_resize_torch(x_hwc, out_hw):
+    """Bicubic upsampling matching ``F.interpolate(mode="bicubic",
+    align_corners=False)`` bit-for-bit in f32: Keys kernel with
+    a = −0.75 (torch's choice; ``jax.image.resize`` uses a = −0.5),
+    half-pixel centers, edge-clamped taps. Separable: one [out, in]
+    weight matrix per axis applied with matmuls."""
+    H, W, _ = x_hwc.shape
+
+    def axis_weights(n_out, n_in):
+        a = -0.75
+        i = np.arange(n_out, dtype=np.float64)
+        src = (i + 0.5) * (n_in / n_out) - 0.5
+        f = np.floor(src)
+        t = src - f                     # in [0, 1)
+        # taps at offsets -1, 0, 1, 2 of the Keys kernel
+        def k(x):
+            x = np.abs(x)
+            return np.where(
+                x <= 1, ((a + 2) * x - (a + 3)) * x * x + 1,
+                np.where(
+                    x < 2, ((a * x - 5 * a) * x + 8 * a) * x - 4 * a, 0.0
+                ),
+            )
+        wm = np.zeros((n_out, n_in))
+        for o in range(-1, 3):
+            idx = np.clip(f + o, 0, n_in - 1).astype(int)
+            np.add.at(wm, (np.arange(n_out), idx), k(t - o))
+        return jnp.asarray(wm, jnp.float32)
+
+    wh = axis_weights(out_hw[0], H)
+    ww = axis_weights(out_hw[1], W)
+    y = jnp.einsum("oh,hwc->owc", wh, x_hwc.astype(jnp.float32))
+    return jnp.einsum("pw,owc->opc", ww, y).astype(x_hwc.dtype)
 
 
 def init_hiera(key, args: HieraArgs):
@@ -372,7 +422,7 @@ def _hiera_block(x, blk, plan, q_stride):
 
     x = shortcut + att
     xn2 = layer_norm(x, blk["norm2"]["weight"], blk["norm2"]["bias"])
-    x = x + _mlp(xn2, blk["mlp"], act=jax.nn.gelu)
+    x = x + _mlp(xn2, blk["mlp"], act=_gelu)
     return x
 
 
@@ -387,9 +437,8 @@ def hiera_forward(params, args: HieraArgs, images_nhwc):
     )
     B, H, W, C = x.shape
     # windowed pos embed: background interpolated + window tile
-    bkg = jax.image.resize(
-        params["pos_embed"], (H, W, C), method="bicubic"
-    )
+    # (torch-exact bicubic — hieradet.py:289 F.interpolate(bicubic))
+    bkg = _bicubic_resize_torch(params["pos_embed"], (H, W))
     wsz = params["pos_embed_window"].shape[0]
     tile = jnp.tile(
         params["pos_embed_window"],
@@ -425,10 +474,14 @@ def init_fpn_neck(key, backbone_channels: Sequence[int], d_model: int):
 
 
 def fpn_neck_forward(params, feats: List[jnp.ndarray], d_model: int,
-                     fpn_top_down_levels: Optional[Sequence[int]] = None):
+                     fpn_top_down_levels: Optional[Sequence[int]] = None,
+                     interp: str = "nearest"):
     """feats: high-res first (hiera output order). Returns (features,
-    pos) lists, high-res first — lateral 1×1 convs + top-down bilinear
-    ×2 fusion, sine position encodings."""
+    pos) lists, high-res first — lateral 1×1 convs + top-down ×2 fusion
+    (scale-factor-2 interpolation, ``fpn_interp_model`` — the reference
+    config uses ``nearest``; image_encoder.py:120-131), sine position
+    encodings. ``fpn_top_down_levels`` defaults to all levels like the
+    reference module default (the sam2.1 configs set ``[2, 3]``)."""
     n = len(feats)
     levels = (
         set(range(n)) if fpn_top_down_levels is None
@@ -444,9 +497,15 @@ def fpn_neck_forward(params, feats: List[jnp.ndarray], d_model: int,
         )
         if i in levels and prev is not None:
             B, H, W, C = lat.shape
-            td = jax.image.resize(
-                prev.astype(jnp.float32), (B, H, W, C), method="bilinear"
-            ).astype(lat.dtype)
+            if interp == "nearest":
+                # F.interpolate(scale_factor=2, mode="nearest") ==
+                # exact 2×2 pixel replication
+                td = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
+            else:
+                td = jax.image.resize(
+                    prev.astype(jnp.float32), (B, H, W, C),
+                    method="bilinear",
+                ).astype(lat.dtype)
             prev = lat + td
         else:
             prev = lat
@@ -521,14 +580,14 @@ def prompt_encoder_forward(
         m = _conv(masks, params["mask_down"][0]["weight"],
                   params["mask_down"][0]["bias"], stride=2,
                   padding="VALID")
-        m = jax.nn.gelu(layer_norm(
+        m = _gelu(layer_norm(
             m, params["mask_ln"][0]["weight"],
             params["mask_ln"][0]["bias"],
         ))
         m = _conv(m, params["mask_down"][1]["weight"],
                   params["mask_down"][1]["bias"], stride=2,
                   padding="VALID")
-        m = jax.nn.gelu(layer_norm(
+        m = _gelu(layer_norm(
             m, params["mask_ln"][1]["weight"],
             params["mask_ln"][1]["bias"],
         ))
@@ -558,7 +617,8 @@ def _init_attention(key, d, heads, downsample=1):
     }
 
 
-def _attention(lw, q, k, v, rope_hw=None, num_k_exclude_rope=0):
+def _attention(lw, q, k, v, rope_hw=None, num_k_exclude_rope=0,
+               rope_k_repeat=False):
     heads = lw["heads"]
     B, Nq, _ = q.shape
     qh = _linear(q, lw["wq"]).reshape(B, Nq, heads, -1)
@@ -568,7 +628,8 @@ def _attention(lw, q, k, v, rope_hw=None, num_k_exclude_rope=0):
         qr = qh.transpose(0, 2, 1, 3)
         kr = kh.transpose(0, 2, 1, 3)
         qr, kr = rotary_2d(
-            qr, kr, rope_hw, num_k_exclude=num_k_exclude_rope
+            qr, kr, rope_hw, num_k_exclude=num_k_exclude_rope,
+            repeat_freqs_k=rope_k_repeat,
         )
         qh = qr.transpose(0, 2, 1, 3)
         kh = kr.transpose(0, 2, 1, 3)
@@ -607,36 +668,41 @@ def two_way_transformer_forward(params, image_emb, image_pe, tokens):
     4-direction block: token self-attn → token→image cross → token MLP
     → image→token cross; final token→image attn + norm."""
     queries, keys = tokens, image_emb
+    eps = 1e-5  # nn.LayerNorm default (transformer.py:164-176)
     for i, lw in enumerate(params["layers"]):
         if i == 0:
-            q = queries
+            # skip_first_layer_pe: attention output REPLACES queries
+            # (transformer.py:188-189 — no residual on layer 0)
+            queries = _attention(
+                lw["self_attn"], queries, queries, queries
+            )
         else:
             q = queries + tokens
-        att = _attention(lw["self_attn"], q, q, queries)
+            queries = queries + _attention(lw["self_attn"], q, q, queries)
         queries = layer_norm(
-            queries + att, lw["norm1"]["weight"], lw["norm1"]["bias"]
+            queries, lw["norm1"]["weight"], lw["norm1"]["bias"], eps
         )
         q = queries + tokens
         k = keys + image_pe
         att = _attention(lw["t2i"], q, k, keys)
         queries = layer_norm(
-            queries + att, lw["norm2"]["weight"], lw["norm2"]["bias"]
+            queries + att, lw["norm2"]["weight"], lw["norm2"]["bias"], eps
         )
         queries = layer_norm(
             queries + _mlp(queries, lw["mlp"]),
-            lw["norm3"]["weight"], lw["norm3"]["bias"],
+            lw["norm3"]["weight"], lw["norm3"]["bias"], eps,
         )
         q = queries + tokens
         att = _attention(lw["i2t"], k, q, queries)
         keys = layer_norm(
-            keys + att, lw["norm4"]["weight"], lw["norm4"]["bias"]
+            keys + att, lw["norm4"]["weight"], lw["norm4"]["bias"], eps
         )
     q = queries + tokens
     k = keys + image_pe
     att = _attention(params["final_t2i"], q, k, keys)
     queries = layer_norm(
         queries + att,
-        params["norm_final"]["weight"], params["norm_final"]["bias"],
+        params["norm_final"]["weight"], params["norm_final"]["bias"], eps,
     )
     return queries, keys
 
@@ -673,7 +739,13 @@ def init_mask_decoder(key, d, num_multimask=3, heads=8, tw_depth=2,
     }
     if pred_obj_scores:
         p["obj_score_token"] = jax.random.normal(next(ki), (1, d)) * 0.02
-        p["obj_score_head"] = [_init_linear(next(ki), d, 1)]
+        # sam2.1 configs set pred_obj_scores_mlp=true → MLP(d, d, 1, 3)
+        # (mask_decoder.py:99-102)
+        p["obj_score_head"] = [
+            _init_linear(next(ki), d, d),
+            _init_linear(next(ki), d, d),
+            _init_linear(next(ki), d, 1),
+        ]
     if use_high_res_features:
         p["conv_s0"] = _init_conv(next(ki), 1, 1, d, d // 8)
         p["conv_s1"] = _init_conv(next(ki), 1, 1, d, d // 4)
@@ -699,6 +771,7 @@ def mask_decoder_forward(
     stability_delta: float = 0.05,
     stability_thresh: float = 0.98,
     dynamic_multimask_via_stability: bool = False,
+    iou_use_sigmoid: bool = True,
 ):
     """Returns (masks [B, M, 4h, 4w], iou [B, M], sam_tokens [B, M, D],
     obj_score [B, 1])."""
@@ -732,7 +805,7 @@ def mask_decoder_forward(
         up = up + _conv(
             s1, params["conv_s1"]["weight"], params["conv_s1"]["bias"]
         )
-    up = jax.nn.gelu(layer_norm(
+    up = _gelu(layer_norm(
         up, params["upscale_ln"]["weight"], params["upscale_ln"]["bias"]
     ))
     up = _conv_transpose2(
@@ -742,7 +815,7 @@ def mask_decoder_forward(
         up = up + _conv(
             s0, params["conv_s0"]["weight"], params["conv_s0"]["bias"]
         )
-    up = jax.nn.gelu(up)                       # [B, 4h, 4w, D/8]
+    up = _gelu(up)                       # [B, 4h, 4w, D/8]
 
     hyper = jnp.stack(
         [
@@ -756,6 +829,10 @@ def mask_decoder_forward(
         preferred_element_type=jnp.float32,
     )
     iou = _mlp(iou_tok, params["iou_head"])     # [B, M]
+    if iou_use_sigmoid:
+        # iou_prediction_use_sigmoid=true in the sam2.1 configs
+        # (sam2_utils.py MLP ``sigmoid_output``)
+        iou = jax.nn.sigmoid(iou)
     obj = (
         _mlp(hs[:, 0], params["obj_score_head"])
         if has_obj else jnp.full((B, 1), 10.0)
@@ -798,7 +875,9 @@ def init_memory_encoder(key, in_dim, out_dim, mask_down_stages=4,
     ki = iter(ks)
     down, c = [], 1
     for _ in range(mask_down_stages):
-        nc = min(in_dim, c * 4)
+        # reference MaskDownSampler (memory_encoder.py:40-55): channels
+        # multiply by stride² (=4) each stage regardless of embed_dim
+        nc = c * 4
         down.append({
             "conv": _init_conv(next(ki), 3, 3, c, nc),
             "ln": _init_ln(nc),
@@ -833,8 +912,11 @@ def memory_encoder_forward(params, pix_feat, masks,
     feature res, like the reference's downsampler total stride)."""
     m = masks if skip_mask_sigmoid else jax.nn.sigmoid(masks)
     for st in params["mask_down"]:
-        m = _conv(m, st["conv"]["weight"], st["conv"]["bias"], stride=2)
-        m = jax.nn.gelu(layer_norm(
+        # torch Conv2d(k=3, s=2, p=1) pads symmetrically; XLA "SAME"
+        # would pad (0, 1) on even dims — different samples
+        m = _conv(m, st["conv"]["weight"], st["conv"]["bias"], stride=2,
+                  padding=[(1, 1), (1, 1)])
+        m = _gelu(layer_norm(
             m, st["ln"]["weight"], st["ln"]["bias"]
         ))
     m = _conv(
@@ -855,7 +937,7 @@ def memory_encoder_forward(params, pix_feat, masks,
         )
         h = layer_norm(h, cx["ln"]["weight"], cx["ln"]["bias"])
         h = _linear(h, cx["pw1"])
-        h = jax.nn.gelu(h)
+        h = _gelu(h)
         h = _linear(h, cx["pw2"])
         x = x + cx["gamma"] * h
     if params["out_proj"] is not None:
@@ -891,28 +973,46 @@ def init_memory_attention(key, d_model, num_layers=4, heads=1,
     return {"layers": layers, "norm": _init_ln(d_model)}
 
 
+def get_1d_sine_pe(pos, dim, temperature=10000.0):
+    """sam2_utils.py:64 ``get_1d_sine_pe`` — 1-D sine embedding."""
+    pe_dim = dim // 2
+    dim_t = temperature ** (
+        2 * (jnp.arange(pe_dim, dtype=jnp.float32) // 2) / pe_dim
+    )
+    pe = pos[..., None] / dim_t
+    return jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], axis=-1)
+
+
 def memory_attention_forward(params, curr, memory, curr_pos, mem_pos,
                              hw: Tuple[int, int],
                              num_obj_ptr_tokens: int = 0):
-    """curr [B, N, D]; memory [B, M, kv_dim]. RoPE self-attn on the
-    current-frame grid; cross-attn to memory with the trailing
-    object-pointer tokens excluded from rotation (reference
-    memory_attention.py:66-79)."""
-    x = curr
+    """curr [B, N, D]; memory [B, M, kv_dim]. Replicates the reference
+    defaults (configs/sam2.1/*.yaml + memory_attention.py:58-98):
+    ``pos_enc_at_input`` adds ``0.1·curr_pos`` once at the input;
+    self-attention is RoPE over the current-frame grid with NO additive
+    pos (``pos_enc_at_attn=false``); cross-attention RoPE-rotates q on
+    the grid and k over the repeated per-frame memory grid
+    (``rope_k_repeat``), with the trailing ``num_obj_ptr_tokens``
+    object-pointer tokens excluded from rotation; cross-attn keys add
+    ``mem_pos`` (``pos_enc_at_cross_attn_keys=true``) but queries add
+    nothing (``pos_enc_at_cross_attn_queries=false``)."""
+    x = curr + 0.1 * curr_pos
+    eps = 1e-5  # nn.LayerNorm default (memory_attention.py:41-43)
     for lw in params["layers"]:
-        h = layer_norm(x, lw["norm1"]["weight"], lw["norm1"]["bias"])
-        q = h + curr_pos
-        att = _attention(lw["self_attn"], q, q, h, rope_hw=hw)
+        h = layer_norm(x, lw["norm1"]["weight"], lw["norm1"]["bias"], eps)
+        att = _attention(lw["self_attn"], h, h, h, rope_hw=hw)
         x = x + att
-        h = layer_norm(x, lw["norm2"]["weight"], lw["norm2"]["bias"])
+        h = layer_norm(x, lw["norm2"]["weight"], lw["norm2"]["bias"], eps)
         att = _attention(
-            lw["cross_attn"], h + curr_pos, memory + mem_pos, memory,
+            lw["cross_attn"], h, memory + mem_pos, memory,
+            rope_hw=hw, num_k_exclude_rope=num_obj_ptr_tokens,
+            rope_k_repeat=True,
         )
         x = x + att
-        h = layer_norm(x, lw["norm3"]["weight"], lw["norm3"]["bias"])
+        h = layer_norm(x, lw["norm3"]["weight"], lw["norm3"]["bias"], eps)
         x = x + _linear(jax.nn.relu(_linear(h, lw["ff1"])), lw["ff2"])
     return layer_norm(
-        x, params["norm"]["weight"], params["norm"]["bias"]
+        x, params["norm"]["weight"], params["norm"]["bias"], eps
     )
 
 
@@ -929,6 +1029,9 @@ class SAM2Config:
     num_mem_frames: int = 7
     num_mem_layers: int = 2
     dec_heads: int = 4
+    # sam2.1 config defaults (configs/sam2.1/*.yaml)
+    fpn_top_down_levels: Tuple[int, ...] = (2, 3)
+    directly_add_no_mem_embed: bool = True
     hiera: HieraArgs = dataclasses.field(
         default_factory=lambda: HieraArgs(
             embed_dim=32, num_heads=1, stages=(1, 2, 4, 2),
@@ -955,7 +1058,7 @@ class SAM2Model:
 
     def init_params(self, key) -> Dict[str, Any]:
         cfg = self.cfg
-        ks = jax.random.split(key, 6)
+        ks = jax.random.split(key, 12)
         d = cfg.d_model
         return {
             "hiera": init_hiera(ks[0], cfg.hiera),
@@ -969,13 +1072,37 @@ class SAM2Model:
                 ks[5], d, num_layers=cfg.num_mem_layers,
                 kv_dim=cfg.mem_dim,
             ),
+            # SAM2Base top-level parameters (sam2_base.py:113-256)
+            "no_mem_embed": jax.random.normal(ks[6], (1, 1, d)) * 0.02,
+            "no_mem_pos_enc": jax.random.normal(ks[7], (1, 1, d)) * 0.02,
+            "maskmem_tpos_enc": jax.random.normal(
+                ks[8], (cfg.num_mem_frames, 1, 1, cfg.mem_dim)
+            ) * 0.02,
+            "no_obj_ptr": jax.random.normal(ks[9], (1, d)) * 0.02,
+            "no_obj_embed_spatial": jax.random.normal(
+                ks[10], (1, cfg.mem_dim)
+            ) * 0.02,
+            # use_mlp_for_obj_ptr_proj=true → MLP(d, d, d, 3)
+            "obj_ptr_proj": [
+                _init_linear(k, d, d)
+                for k in jax.random.split(ks[11], 3)
+            ],
+            # proj_tpos_enc_in_obj_ptrs=true → Linear(d, mem_dim)
+            "obj_ptr_tpos_proj": _init_linear(
+                jax.random.fold_in(ks[11], 7), d, cfg.mem_dim
+            ),
+            # use_obj_ptrs_in_encoder=true → Conv2d(1, 1, 4, 4)
+            "mask_downsample": _init_conv(
+                jax.random.fold_in(ks[11], 8), 4, 4, 1, 1
+            ),
         }
 
     # ---- image path ---------------------------------------------------
     def forward_image(self, params, images_nhwc):
         feats = hiera_forward(params["hiera"], self.cfg.hiera, images_nhwc)
         features, pos = fpn_neck_forward(
-            params["neck"], feats, self.cfg.d_model
+            params["neck"], feats, self.cfg.d_model,
+            fpn_top_down_levels=self.cfg.fpn_top_down_levels,
         )
         # reference scalp=1 (image_encoder.py:40): DROP the lowest-res
         # level; the decoder feature is the stride-16 level, with
@@ -1020,10 +1147,18 @@ class SAM2Model:
 
     # ---- video path ---------------------------------------------------
     def track_step(self, params, backbone_out, mem_bank, points=None,
-                   labels=None):
-        """One frame: condition current features on the memory bank,
-        decode masks, encode new memory; returns (masks, iou, obj,
-        new_memory_tokens [N_mem_tok, mem_dim], pos)."""
+                   labels=None, obj_ptrs=None,
+                   max_obj_ptrs_in_encoder: int = 16):
+        """One frame: condition current features on the memory bank
+        (+ object-pointer tokens, sam2_base.py:595-656), decode masks,
+        encode new memory; returns (masks, iou, obj,
+        (mem_tokens, mem_pos, obj_ptr)).
+
+        ``obj_ptrs``: optional [B, P, D] pointers from past frames,
+        oldest-first (newest = t_diff 1). Each pointer is split into
+        D/mem_dim memory tokens with a projected 1-D sine temporal
+        encoding; the pointer tokens are excluded from cross-attention
+        RoPE (``num_obj_ptr_tokens``)."""
         cfg = self.cfg
         src = backbone_out["vision_features"]
         B, h, w, D = src.shape
@@ -1033,9 +1168,42 @@ class SAM2Model:
         )
         if mem_bank is not None:
             mem, mem_pos = mem_bank  # [B, T·N, mem_dim] ×2
+            # temporal position encoding by frame age: the rolling bank
+            # is oldest-first with N tokens per frame slot; the newest
+            # slot gets maskmem_tpos_enc[0] (sam2_base.py:586)
+            T = cfg.num_mem_frames
+            n_per = mem.shape[1] // T
+            tpos = jnp.repeat(
+                params["maskmem_tpos_enc"][::-1, 0, 0, :], n_per, axis=0
+            )[None]                              # [1, T·N, mem_dim]
+            mem_pos = mem_pos + tpos
+            n_ptr_tok = 0
+            if obj_ptrs is not None and obj_ptrs.shape[1] > 0:
+                P = obj_ptrs.shape[1]
+                md = cfg.mem_dim
+                split = D // md
+                # [B, P, D] -> [B, P·split, mem_dim], newest last
+                ptr_tok = obj_ptrs.reshape(B, P * split, md)
+                t_diff = jnp.arange(P, 0, -1, dtype=jnp.float32)
+                pe = get_1d_sine_pe(
+                    t_diff / (max_obj_ptrs_in_encoder - 1), D
+                )                                # [P, D]
+                pe = _linear(pe, params["obj_ptr_tpos_proj"])
+                pe = jnp.repeat(pe, split, axis=0)[None]
+                mem = jnp.concatenate([mem, ptr_tok], axis=1)
+                mem_pos = jnp.concatenate(
+                    [mem_pos, jnp.broadcast_to(
+                        pe, (B,) + pe.shape[1:]
+                    )], axis=1,
+                )
+                n_ptr_tok = P * split
             cond = memory_attention_forward(
-                params["mem_attn"], cur, mem, cur_pos, mem_pos, (h, w)
+                params["mem_attn"], cur, mem, cur_pos, mem_pos,
+                (h, w), num_obj_ptr_tokens=n_ptr_tok,
             )
+        elif cfg.directly_add_no_mem_embed:
+            # first frame: sam2_base.py:659-661
+            cond = cur + params["no_mem_embed"]
         else:
             cond = cur
         cond_img = cond.reshape(B, h, w, D)
@@ -1047,6 +1215,15 @@ class SAM2Model:
         best_mask = jnp.take_along_axis(
             masks, best[:, None, None, None], axis=1
         )[:, 0]
+        # object pointer from the best multimask SAM token
+        # (use_multimask_token_for_obj_ptr; sam2_base.py:396 + the
+        # fixed_no_obj_ptr mix with lambda = [obj_logits > 0])
+        best_tok = jnp.take_along_axis(
+            toks[:, 1:], best[:, None, None], axis=1
+        )[:, 0]                                   # [B, D]
+        obj_ptr = _mlp(best_tok, params["obj_ptr_proj"])
+        lam = (obj > 0).astype(obj_ptr.dtype)     # [B, 1]
+        obj_ptr = lam * obj_ptr + (1 - lam) * params["no_obj_ptr"]
         # upsample the low-res mask logits to the mask-downsampler's
         # expected input resolution (16× the feature grid)
         m_in = jax.image.resize(
@@ -1056,35 +1233,47 @@ class SAM2Model:
         mem_feat, mem_pos_new = memory_encoder_forward(
             params["mem_enc"], cond_img, m_in
         )
+        # no_obj_embed_spatial (sam2_base.py:181): down-weight memory of
+        # frames where the object is predicted absent
+        mem_feat = mem_feat + (1.0 - lam)[:, :, None, None] \
+            * params["no_obj_embed_spatial"][0]
         mem_tokens = mem_feat.reshape(B, -1, mem_feat.shape[-1])
         mem_pos_tok = mem_pos_new.reshape(B, -1, mem_feat.shape[-1])
-        return masks, iou, obj, (mem_tokens, mem_pos_tok)
+        return masks, iou, obj, (mem_tokens, mem_pos_tok, obj_ptr)
 
     def propagate_in_video(self, params, frames_nhwc, points, labels):
         """frames [T, H, W, 3]; prompt on frame 0. Rolling memory bank
-        of ``num_mem_frames`` (static shape — jit-friendly)."""
+        of ``num_mem_frames`` (static shape — jit-friendly) plus a
+        rolling object-pointer list (sam2_base.py:616-623)."""
         cfg = self.cfg
         outs = []
-        bank = bank_pos = None
+        bank = bank_pos = ptrs = None
         for t in range(frames_nhwc.shape[0]):
             bo = self.forward_image(params, frames_nhwc[t : t + 1])
             mem = (
                 None if bank is None
                 else (bank, bank_pos)
             )
-            masks, iou, obj, (mt, mp) = self.track_step(
+            masks, iou, obj, (mt, mp, op) = self.track_step(
                 params, bo, mem,
                 points=points if t == 0 else None,
                 labels=labels if t == 0 else None,
+                obj_ptrs=ptrs,
             )
             if bank is None:
                 bank = jnp.tile(mt, (1, cfg.num_mem_frames, 1))
                 bank_pos = jnp.tile(mp, (1, cfg.num_mem_frames, 1))
+                ptrs = jnp.tile(
+                    op[:, None], (1, cfg.num_mem_frames, 1)
+                )
             else:
                 n = mt.shape[1]
                 bank = jnp.concatenate([bank[:, n:], mt], axis=1)
                 bank_pos = jnp.concatenate(
                     [bank_pos[:, n:], mp], axis=1
+                )
+                ptrs = jnp.concatenate(
+                    [ptrs[:, 1:], op[:, None]], axis=1
                 )
             outs.append((masks, iou, obj))
         return outs
