@@ -489,3 +489,39 @@ def test_full_sam2_base_checkpoint_coverage(ref):
     assert len(outs) == 2
     masks, iou, obj = outs[-1]
     assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_cli_npz_roundtrip(tmp_path):
+    """scripts/convert_sam2_checkpoint.py flatten/save → load_params
+    reassembles the exact pytree (incl. list nodes and static ints)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_sam2_checkpoint",
+        "/root/repo/scripts/convert_sam2_checkpoint.py",
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    cfg = M.SAM2Config()
+    params = M.SAM2Model(cfg).init_params(jax.random.PRNGKey(0))
+    flat = cli._flatten(params)
+    path = str(tmp_path / "p.npz")
+    np.savez(path, **flat)
+    back = cli.load_params(path)
+
+    leaves1 = jax.tree_util.tree_leaves_with_path(params)
+    leaves2 = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(back)
+    }
+    assert len(leaves1) == len(leaves2)
+    for k, v in leaves1:
+        k2 = jax.tree_util.keystr(k)
+        assert k2 in leaves2, k2
+        if hasattr(v, "shape"):
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(leaves2[k2])
+            )
+        else:
+            assert v == leaves2[k2]

@@ -1041,9 +1041,11 @@ class SAM2Config:
 
     @classmethod
     def reference_base(cls):
-        """The reference's hiera-base-plus geometry (sam2_base scale)."""
+        """The reference's hiera-base-plus geometry (sam2_base scale);
+        dec_heads=8 is hardcoded by ``SAM2Base._build_sam_heads``."""
         return cls(
-            image_size=1024, d_model=256, mem_dim=64,
+            image_size=1024, d_model=256, mem_dim=64, dec_heads=8,
+            num_mem_layers=4,
             hiera=HieraArgs(embed_dim=112, num_heads=2),
         )
 
