@@ -611,15 +611,43 @@ def _kernel_bdq(
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref_s[:], 1e-30)
 
 
-def _bdq_i4_attn_step(
-    s, pos,
-    qlo_ref, qhi_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+def _kernel_bdq_i4(
+    l_ref,    # scalar prefetch: [1] int32 stacked-layer index
+    pos_ref,  # scalar prefetch: [B] int32
+    qlo_ref,  # [1, H·G, H·Dh/2] bf16 — Qbd columns for each head's lo half
+    qhi_ref,  # [1, H·G, H·Dh/2] bf16 — hi half
+    kq_ref,   # [1, 1, H·Dh/2, bs] uint8 — packed int4 D-major K block
+    ks_ref,   # [1, 1, H, bs]
+    vq_ref,   # [1, 1, bs, H·Dh/2] uint8 — packed int4 S-major V block
+    vs_ref,   # [1, 1, H, bs]
+    out_ref,  # [1, H·G, Dh] f32
     m_ref, l_ref_s, acc_ref,
-    *, bs: int, scale: float, n_heads: int, dh: int,
+    *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
 ):
-    """One S-block online-softmax step of the packed-int4 BDQ kernel
-    (shared by ``_kernel_bdq_i4`` and the attention+wo fused kernel —
-    identical math, see ``_kernel_bdq_i4`` for the derivation)."""
+    """Packed-int4 variant of ``_kernel_bdq`` — HALF the cache bytes at
+    the same fat-block streaming shape (the long-context capacity
+    option, 2× context per HBM byte, now on the fast split-flat path).
+
+    int4 KV is packed 2-per-byte WITHIN each head along Dh (byte
+    (h, d) holds offset-binary nibbles of elements d and d + Dh/2 —
+    ``model._quantize_kv_int4``), so head-sharded TP still shards whole
+    bytes. Nibbles reach the MXU as int8 with zero float casts via the
+    weight kernel's identities (``lo = b & 0xF`` = q_lo + 8;
+    ``(b ^ 0x80) as i8 = lo + 16·(q_hi − 8)``):
+
+      scores_lo = Q_lo @ lo − 8·rowsum(Q_lo)       (offset-binary rebias)
+      scores_hi = (Q_hi @ b′ − Q_hi @ lo) / 16
+      P·V: one dot against [lo | b′], recombined per half the same way.
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref_s[:] = jnp.zeros_like(l_ref_s)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[pl.program_id(0)]
     block_start = s * bs
     H, G = n_heads, qlo_ref.shape[1] // n_heads
 
@@ -685,7 +713,11 @@ def _bdq_i4_attn_step(
         HG = out_lo.shape[0]
         HD2 = out_lo.shape[1]
         # band-select + per-half column placement WITHOUT any sub-128
-        # minor reshape (see _kernel_bdq_i4 docstring)
+        # minor reshape (Mosaic rejects [HG, HD2] → [HG, H, dh/2]):
+        # zero every h' != row's head arithmetically (no i1 vectors —
+        # Mosaic "invalid relayout", CLAUDE.md), then one tiny constant
+        # matmul per half scatters compact columns (h·dh2 + d) to their
+        # head-contiguous positions d / d + dh2 of [HG, Dh].
         db = (
             jax.lax.broadcasted_iota(jnp.int32, (HG, HD2), 1) // dh2
             - jax.lax.broadcasted_iota(jnp.int32, (HG, HD2), 0) // G
@@ -712,56 +744,6 @@ def _bdq_i4_attn_step(
         m_ref[:] = m_new
         l_ref_s[:] = l_ref_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + pv
-
-
-def _kernel_bdq_i4(
-    l_ref,    # scalar prefetch: [1] int32 stacked-layer index
-    pos_ref,  # scalar prefetch: [B] int32
-    qlo_ref,  # [1, H·G, H·Dh/2] bf16 — Qbd columns for each head's lo half
-    qhi_ref,  # [1, H·G, H·Dh/2] bf16 — hi half
-    kq_ref,   # [1, 1, H·Dh/2, bs] uint8 — packed int4 D-major K block
-    ks_ref,   # [1, 1, H, bs]
-    vq_ref,   # [1, 1, bs, H·Dh/2] uint8 — packed int4 S-major V block
-    vs_ref,   # [1, 1, H, bs]
-    out_ref,  # [1, H·G, Dh] f32
-    m_ref, l_ref_s, acc_ref,
-    *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
-):
-    """Packed-int4 variant of ``_kernel_bdq`` — HALF the cache bytes at
-    the same fat-block streaming shape (the long-context capacity
-    option, 2× context per HBM byte, now on the fast split-flat path).
-
-    int4 KV is packed 2-per-byte WITHIN each head along Dh (byte
-    (h, d) holds offset-binary nibbles of elements d and d + Dh/2 —
-    ``model._quantize_kv_int4``), so head-sharded TP still shards whole
-    bytes. Nibbles reach the MXU as int8 with zero float casts via the
-    weight kernel's identities (``lo = b & 0xF`` = q_lo + 8;
-    ``(b ^ 0x80) as i8 = lo + 16·(q_hi − 8)``):
-
-      scores_lo = Q_lo @ lo − 8·rowsum(Q_lo)       (offset-binary rebias)
-      scores_hi = (Q_hi @ b′ − Q_hi @ lo) / 16
-      P·V: one dot against [lo | b′], recombined per half the same way.
-
-    The per-block step body lives in ``_bdq_i4_attn_step`` (shared with
-    the attention+wo fused kernel); placement matmuls scatter the
-    compact per-half columns without any sub-128 minor reshape (Mosaic
-    rejects [HG, HD2] → [HG, H, dh/2]) and band-masks are built
-    arithmetically (no i1 vectors — "invalid relayout", CLAUDE.md).
-    """
-    s = pl.program_id(1)
-
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref_s[:] = jnp.zeros_like(l_ref_s)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    pos = pos_ref[pl.program_id(0)]
-    _bdq_i4_attn_step(
-        s, pos, qlo_ref, qhi_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-        m_ref, l_ref_s, acc_ref,
-        bs=bs, scale=scale, n_heads=n_heads, dh=dh,
-    )
 
     @pl.when(s == n_s_blocks - 1)
     def _():
@@ -1027,331 +1009,3 @@ def quantized_kv_decode_attention_reference(
     scores = jnp.where(mask, scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhgs,bhsd->bhgd", p, v)
-
-
-# ---------------------------------------------------------------------------
-# Fused attention + wo projection (cross-launch DMA overlap)
-# ---------------------------------------------------------------------------
-
-
-def _kernel_attn_wo_i4(
-    l_ref,    # scalar prefetch: [1] int32 stacked-layer index
-    pos_ref,  # scalar prefetch: [B] int32
-    qlo_ref,  # [1, H·G, H·Dh/2] bf16
-    qhi_ref,  # [1, H·G, H·Dh/2] bf16
-    kq_ref,   # [1, 1, H·Dh/2, bs] uint8   (frozen during wo steps)
-    ks_ref,   # [1, 1, H, bs]
-    vq_ref,   # [1, 1, bs, H·Dh/2] uint8
-    vs_ref,   # [1, 1, H, bs]
-    wp_ref,   # [1, Kp, bn] uint8 — full-K wo weight column block
-    qe_ref,   # [1, 4·nG, bn] bf16 — chunked block-major kernel-form
-              #   qparams (qtypes.intx._tiled_eff_qparams_chunked)
-    out_ref,  # [1, bn] — wo output column block (x dtype)
-    m_ref, l_ref_s, acc_ref,
-    xw_ref,   # [8, Kp] f32 scratch — rows 0/1 = wo input lo/hi halves
-    *, bs: int, scale: float, n_s: int, n_wo: int, n_heads: int,
-    dh: int, group_size: int, chunk_groups: int, xored: bool,
-):
-    """Attention (packed-int4 BDQ flash decode) and the row-parallel
-    ``wo`` int4 projection in ONE launch (VERDICT r3 #1's untried fold).
-
-    Why: each separate launch pays ~2 grid steps of pipeline fill/drain
-    (PERF.md "per-kernel-LAUNCH cost"); the wo launch is only 4 grid
-    steps so ~50% of its time is fill/drain. Fused, the wo weight's
-    first block DMA is issued by the Mosaic pipeline during the
-    attention steps (its BlockSpec index is frozen at 0 until the phase
-    flips — the freeze-trick from the round-2 megakernel), so the wo
-    stream starts at full depth with zero launch boundary.
-
-    Phase 1 (s < n_s): the proven ``_bdq_i4_attn_step`` online-softmax
-    body over cache S-blocks; cache BlockSpecs freeze at the last block
-    during phase 2 (no re-fetch).
-
-    Transition (s == n_s): normalize the attention accumulator
-    [HG, Dh] and PLACE it as the flat wo input row [1, K] — per half,
-    ``X = 1ᵀ @ ((A @ R) ⊙ band)`` with R the (c mod Dh == d) placement
-    matrix and band the (c // Dh == row) indicator: Mosaic rejects the
-    direct [HG, Dh] → [1, HG·Dh] reshape class, constant matmuls are
-    free on a memory-bound kernel. Stored bf16-exact (the two-launch
-    path also feeds wo a bf16 activation).
-
-    Phase 2 (s ≥ n_s): one wo output column block per step — the
-    BANDED full-K int4 matmul (``int4_matmul._kernel_banded``'s math:
-    band-expanded activation → one fat K contraction per nibble half,
-    group scales on f32 partials, zero terms via group-indicator dots)
-    reading the same chunked qparams stream as the production decode
-    kernel. Banded (not batched-int8) because the grouped-x form
-    [2nG, 1, g] cannot be built in VMEM (minor dim g < 128)."""
-    s = pl.program_id(1)
-
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref_s[:] = jnp.zeros_like(l_ref_s)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    pos = pos_ref[pl.program_id(0)]
-
-    @pl.when(s < n_s)
-    def _():
-        _bdq_i4_attn_step(
-            s, pos, qlo_ref, qhi_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-            m_ref, l_ref_s, acc_ref,
-            bs=bs, scale=scale, n_heads=n_heads, dh=dh,
-        )
-
-    @pl.when(s == n_s)
-    def _():
-        attnf = (
-            acc_ref[:] / jnp.maximum(l_ref_s[:], 1e-30)
-        ).astype(jnp.bfloat16)                          # [HG, Dh]
-        HG = attnf.shape[0]
-        Kp = xw_ref.shape[1]
-        half = HG // 2
-        # R [Dh, Kp]: (c mod Dh == d); band [half, Kp]: (c // Dh == r)
-        cmod = jax.lax.broadcasted_iota(jnp.int32, (dh, Kp), 1) % dh
-        drow = jax.lax.broadcasted_iota(jnp.int32, (dh, Kp), 0)
-        dd = cmod - drow
-        R = (1 - jnp.minimum(dd * dd, 1)).astype(jnp.bfloat16)
-        crow = jax.lax.broadcasted_iota(jnp.int32, (half, Kp), 1) // dh
-        rrow = jax.lax.broadcasted_iota(jnp.int32, (half, Kp), 0)
-        db = crow - rrow
-        band = (1 - jnp.minimum(db * db, 1)).astype(jnp.bfloat16)
-        ones = jnp.ones((1, half), jnp.bfloat16)
-        for row, r0 in ((0, 0), (1, half)):
-            t = jax.lax.dot_general(
-                attnf[r0:r0 + half], R, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)                      # [half, Kp]
-            xh = jax.lax.dot_general(
-                ones, t * band, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # [1, Kp]
-            xw_ref[row:row + 1, :] = xh
-
-    @pl.when(s >= n_s)
-    def _():
-        _, Kp, bn = wp_ref.shape
-        g = group_size
-        cg = chunk_groups
-        ck = cg * g
-        n_chunks = Kp // ck
-        acc = jnp.zeros((1, bn), jnp.float32)
-        for c in range(n_chunks):
-            wc = wp_ref[0, pl.ds(c * ck, ck)]           # [ck, bn] u8
-            lo = (wc & jnp.uint8(0xF)).astype(jnp.int8)
-            bp = (wc if xored else (wc ^ jnp.uint8(0x80))).astype(
-                jnp.int8
-            )
-            x_lo = xw_ref[0:1, pl.ds(c * ck, ck)].astype(jnp.bfloat16)
-            x_hi = xw_ref[1:2, pl.ds(c * ck, ck)].astype(jnp.bfloat16)
-            diff = (
-                jax.lax.broadcasted_iota(jnp.int32, (cg, ck), 0)
-                - jax.lax.broadcasted_iota(jnp.int32, (cg, ck), 1) // g
-            )
-            maskf = (1 - jnp.minimum(diff * diff, 1)).astype(
-                jnp.bfloat16
-            )
-            a_lo = maskf * x_lo                         # [cg, ck]
-            a_hi = maskf * x_hi
-            p_lo2 = jax.lax.dot_general(
-                jnp.concatenate([a_lo, a_hi], axis=0), lo,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # [2cg, bn]
-            p_b = jax.lax.dot_general(
-                a_hi, bp, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # [cg, bn]
-            qoff = c * 4 * cg
-            slo = qe_ref[0, pl.ds(qoff, cg)].astype(jnp.float32)
-            shi16 = qe_ref[0, pl.ds(qoff + cg, cg)].astype(jnp.float32)
-            z2lo = qe_ref[0, pl.ds(qoff + 2 * cg, cg)]
-            z2hi = qe_ref[0, pl.ds(qoff + 3 * cg, cg)]
-            contrib = (
-                p_lo2[:cg] * slo + (p_b - p_lo2[cg:]) * shi16
-            )
-            acc += jnp.sum(contrib, axis=0, keepdims=True)
-            # zero terms: (x @ E) @ z′, E the [ck, cg] group indicator
-            diffE = (
-                jax.lax.broadcasted_iota(jnp.int32, (ck, cg), 0) // g
-                - jax.lax.broadcasted_iota(jnp.int32, (ck, cg), 1)
-            )
-            E = (1 - jnp.minimum(diffE * diffE, 1)).astype(jnp.bfloat16)
-            for xr, z2 in ((x_lo, z2lo), (x_hi, z2hi)):
-                t = jnp.dot(
-                    xr, E, preferred_element_type=jnp.float32
-                )                                       # [1, cg]
-                acc += jnp.dot(
-                    t.astype(jnp.bfloat16), z2.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-        out_ref[:] = acc.astype(out_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "scale", "bs", "bn", "group_size", "chunk_groups", "xored",
-        "interpret",
-    ),
-)
-def attention_wo_fused_i4(
-    q: jnp.ndarray,        # [B, Hkv, G, Dh] bf16 — decode (T=1)
-    k_q: jnp.ndarray,      # [L, B, Hkv·Dh/2, S] uint8 packed int4
-    k_scale: jnp.ndarray,  # [L, B, Hkv, S]
-    v_q: jnp.ndarray,      # [L, B, S, Hkv·Dh/2] uint8
-    v_scale: jnp.ndarray,  # [L, B, Hkv, S]
-    pos: jnp.ndarray,      # scalar or [B] int32
-    wp: jnp.ndarray,       # [L, Kp, N] uint8 — wo TILED_NIBBLES qdata
-    qe: jnp.ndarray,       # [L, 4·nG, N] bf16 — chunked kernel qparams
-    *,
-    scale: Optional[float] = None,
-    bs: int = 1024,
-    bn: int = 1024,
-    group_size: int = 32,
-    chunk_groups: int = 32,
-    xored: bool = False,
-    interpret: bool = False,
-    layer_idx=None,
-) -> jnp.ndarray:
-    """Fused BDQ-int4 decode attention + int4 ``wo`` projection — ONE
-    Pallas launch per layer instead of two (see ``_kernel_attn_wo_i4``).
-    Returns the wo output [B, N] in ``q.dtype``. All weight-side and
-    cache operands are STACKED and indexed by the scalar-prefetched
-    ``layer_idx`` (zero-copy under ``lax.scan``)."""
-    B, H, G, Dh = q.shape
-    L, Kp, N = wp.shape
-    S = v_q.shape[2]
-    hd = H * Dh // 2
-    assert Kp == H * G * Dh // 2, (Kp, H, G, Dh)
-    if scale is None:
-        scale = 1.0 / math.sqrt(Dh)
-    bs = min(bs, S)
-    while S % bs:
-        bs //= 2
-    bn = min(bn, N)
-    assert N % bn == 0, (N, bn)
-    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
-    n_s = S // bs
-    n_wo = N // bn
-
-    eye = jnp.eye(H, dtype=q.dtype)
-    qbd = jnp.einsum("bhgd,hk->bhgkd", q, eye).reshape(
-        B, H * G, H * Dh
-    )
-    q4 = qbd.reshape(B, H * G, H, 2, Dh // 2)
-    qlo = q4[:, :, :, 0, :].reshape(B, H * G, hd)
-    qhi = q4[:, :, :, 1, :].reshape(B, H * G, hd)
-
-    pos_vec = jnp.broadcast_to(
-        jnp.atleast_1d(pos).astype(jnp.int32), (B,)
-    )
-    lvec = jnp.atleast_1d(jnp.asarray(layer_idx, jnp.int32))
-
-    s_att = lambda s: jnp.minimum(s, n_s - 1)   # freeze during wo phase
-    j_wo = lambda s: jnp.maximum(s - n_s, 0)    # freeze during attention
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, n_s + n_wo),
-        in_specs=[
-            pl.BlockSpec((1, H * G, hd), lambda b, s, l, p: (b, 0, 0)),
-            pl.BlockSpec((1, H * G, hd), lambda b, s, l, p: (b, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, hd, bs),
-                lambda b, s, l, p: (l[0], b, 0, s_att(s)),
-            ),
-            pl.BlockSpec(
-                (1, 1, H, bs),
-                lambda b, s, l, p: (l[0], b, 0, s_att(s)),
-            ),
-            pl.BlockSpec(
-                (1, 1, bs, hd),
-                lambda b, s, l, p: (l[0], b, s_att(s), 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, H, bs),
-                lambda b, s, l, p: (l[0], b, 0, s_att(s)),
-            ),
-            pl.BlockSpec(
-                (1, Kp, bn), lambda b, s, l, p: (l[0], 0, j_wo(s))
-            ),
-            pl.BlockSpec(
-                (1, qe.shape[1], bn),
-                lambda b, s, l, p: (l[0], 0, j_wo(s)),
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bn), lambda b, s, l, p: (b, j_wo(s))
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.VMEM((H * G, Dh), jnp.float32),
-            pltpu.VMEM((8, Kp), jnp.float32),
-        ],
-    )
-    kernel = functools.partial(
-        _kernel_attn_wo_i4, bs=bs, scale=scale, n_s=n_s, n_wo=n_wo,
-        n_heads=H, dh=Dh, group_size=group_size,
-        chunk_groups=chunk_groups, xored=xored,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N), q.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * (H * G * Dh) * (S + N)
-            + 4 * B * (2 * Kp) * N,
-            bytes_accessed=(
-                B * S * (2 * hd + 8 * H) + Kp * N + qe.shape[1] * N * 2
-            ),
-            transcendentals=B * H * G * S,
-        ),
-    )(lvec, pos_vec, qlo, qhi, k_q, k_scale, v_q, v_scale, wp, qe)
-    return out
-
-
-def attention_wo_fused_available(w, n_heads, n_groups, head_dim):
-    """Gate for the fused attention+wo launch: stacked TILED_NIBBLES
-    int4 ``wo`` with precomputed CHUNKED kernel-form qparams whose K
-    equals the attention output width. Returns kwargs for
-    ``attention_wo_fused_i4`` or None."""
-    import os
-
-    from torchao_tpu.qtypes.intx import IntxArray
-    from torchao_tpu.qtypes.base import PackingFormat
-
-    if os.environ.get("TORCHAO_TPU_FUSE_WO", "1") != "1":
-        return None
-    if not isinstance(w, IntxArray):
-        return None
-    if w.packing_format is not PackingFormat.TILED_NIBBLES:
-        return None
-    if (w.quant_max - w.quant_min) > 15:
-        return None
-    if w.qdata.ndim != 3:                       # stacked layers only
-        return None
-    if getattr(w, "qparams_eff", None) is None:
-        return None
-    cb = getattr(w, "qparams_eff_chunk", None)
-    if cb is None:
-        return None
-    N, K = w.shape[-2:]
-    Kp = K // 2
-    g = w.block_size[-1]
-    if K != n_heads * n_groups * head_dim:
-        return None
-    if Kp % (cb * g) != 0 or N % 1024 != 0 or Kp % 128 != 0:
-        return None
-    if n_heads * n_groups % 2:                  # lo/hi row split
-        return None
-    return dict(
-        wp=w.qdata, qe=w.qparams_eff, group_size=int(g),
-        chunk_groups=int(cb), xored=bool(w.nibbles_xored),
-    )

@@ -724,44 +724,17 @@ def _attention(
         )
         if T == 1 and _pallas_attention_enabled():
             from torchao_tpu.kernels.quantized_attention import (
-                attention_wo_fused_available,
-                attention_wo_fused_i4,
                 quantized_kv_decode_attention_bdq,
             )
 
             import os as _os
 
-            attn_bs = int(_os.environ.get("TORCHAO_TPU_ATTN_BS", "1024"))
-            # int4 KV + stacked int4 wo: fold the wo projection into the
-            # attention launch (one launch per layer instead of two —
-            # the wo weight stream prefetches during the attention
-            # steps; kernels/quantized_attention._kernel_attn_wo_i4)
-            fused_kw = None
-            if (
-                B == 1  # B>1 would re-stream the wo weight per batch
-                # row (grid dim 0); batched decode keeps the M-tiled
-                # wo kernel which reads each weight block once
-                and lidx is not None
-                and args.tp_axis is None
-                and new_cache["k_q"].dtype == jnp.uint8
-            ):
-                fused_kw = attention_wo_fused_available(
-                    lw["wo"], Hkv, g, Dh
-                )
-            if fused_kw is not None:
-                out = attention_wo_fused_i4(
-                    q.reshape(B, Hkv, g, Dh),
-                    new_cache["k_q"], new_cache["k_scale"],
-                    new_cache["v_q"], new_cache["v_scale"],
-                    pos_vec, bs=attn_bs, layer_idx=lidx, **fused_kw,
-                )  # [B, N] in x dtype — wo output
-                return out[:, None, :], new_cache
             attn = quantized_kv_decode_attention_bdq(
                 q.reshape(B, Hkv, g, Dh),
                 new_cache["k_q"], new_cache["k_scale"],
                 new_cache["v_q"], new_cache["v_scale"],
                 pos_vec,
-                bs=attn_bs,
+                bs=int(_os.environ.get("TORCHAO_TPU_ATTN_BS", "1024")),
                 layer_idx=lidx,
             )  # [B, Hkv, g, Dh] f32
             out = attn.reshape(B, 1, H * Dh).astype(x.dtype)
