@@ -109,6 +109,16 @@ def linear(
     return out + bias if bias is not None else out
 
 
+def _int4_xla_min_m() -> int:
+    """Row threshold above which int4wo takes the XLA dequant+matmul
+    path (prefill-class, compute-bound; e2e: 8k ttft −7%). Env
+    ``TORCHAO_TPU_INT4_XLA_MIN_M`` overrides; 0 disables."""
+    import os
+
+    v = os.environ.get("TORCHAO_TPU_INT4_XLA_MIN_M")
+    return int(v) if v not in (None, "") else 2048
+
+
 def _stacked_linear(x, w, bias, preference, layer_idx):
     """Zero-copy stacked-weight fast paths (returns None if no kernel
     supports this weight stacked — caller then slices)."""
@@ -116,6 +126,17 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
         return None
     if isinstance(w, IntxArray) and w.ndim == 3:
         from torchao_tpu.kernels import int4_matmul, int8_matmul
+
+        min_m = _int4_xla_min_m()
+        if min_m and (w.quant_max - w.quant_min) <= 15:
+            m_rows = 1
+            for d in x.shape[:-1]:
+                m_rows *= int(d)
+            if m_rows >= min_m:
+                # prefill-class shapes take the XLA path: caller slices
+                # the layer and the unstacked impl applies the same
+                # threshold (see _impl_int4_weight_only)
+                return None
 
         impl = int4_matmul.int4_dq_matmul_available(
             x, w, layer_idx=layer_idx
@@ -353,7 +374,23 @@ def _impl_int4_weight_only(x, w: IntxArray, bias, preference):
     (``tensor_core_tiled_layout.py:74-114``). TPU-natively this is the
     fused dequant-matmul Pallas kernel; the XLA path dequantizes groupwise
     and lets XLA fuse (still one pass over the weight).
+
+    ``TORCHAO_TPU_INT4_XLA_MIN_M`` (default 2048): rows ≥ m
+    (prefill-class shapes, compute-bound — the in-kernel dequant steals
+    VPU cycles from the MXU there) take the XLA dequant+matmul path
+    while decode/serving GEMVs keep the Pallas kernel. Measured e2e at
+    8k prefill: ttft 1306.9 → 1216.8 ms (−7%), decode rows unchanged
+    (PERF.md round-4 session 2). ``0`` disables (Pallas for every M).
     """
+    min_m = _int4_xla_min_m()
+    if min_m:
+        m_rows = 1
+        for d in x.shape[:-1]:
+            m_rows *= int(d)
+        if m_rows >= min_m:
+            out = _xla_tiled_int4_linear(x, w)
+            if out is not None:
+                return out + bias if bias is not None else out
     if _use_pallas(preference):
         from torchao_tpu.kernels import int4_matmul
 
