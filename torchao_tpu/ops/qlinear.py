@@ -116,7 +116,10 @@ def _int4_xla_min_m() -> int:
     import os
 
     v = os.environ.get("TORCHAO_TPU_INT4_XLA_MIN_M")
-    return int(v) if v not in (None, "") else 2048
+    # default 4096: covers the measured 8k-prefill win while every
+    # measured serving shape (admission M = slots x chunk <= 2048)
+    # stays on its adjudicated Pallas kernel
+    return int(v) if v not in (None, "") else 4096
 
 
 def _stacked_linear(x, w, bias, preference, layer_idx):
@@ -375,7 +378,7 @@ def _impl_int4_weight_only(x, w: IntxArray, bias, preference):
     fused dequant-matmul Pallas kernel; the XLA path dequantizes groupwise
     and lets XLA fuse (still one pass over the weight).
 
-    ``TORCHAO_TPU_INT4_XLA_MIN_M`` (default 2048): rows ≥ m
+    ``TORCHAO_TPU_INT4_XLA_MIN_M`` (default 4096): rows ≥ m
     (prefill-class shapes, compute-bound — the in-kernel dequant steals
     VPU cycles from the MXU there) take the XLA dequant+matmul path
     while decode/serving GEMVs keep the Pallas kernel. Measured e2e at
