@@ -497,3 +497,36 @@ class TestExternalKernelParityConfigs:
         ):
             rt = config_from_dict(config_to_dict(cfg))
             assert rt == cfg
+
+
+def test_int4_xla_min_m_threshold(monkeypatch):
+    """Prefill-class rows take the XLA dequant+matmul path; both sides
+    of the threshold agree numerically (ops/qlinear._int4_xla_min_m)."""
+    import numpy as np
+
+    from torchao_tpu import ops
+    from torchao_tpu.ops.qlinear import _int4_xla_min_m
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig,
+        quantize_,
+    )
+
+    monkeypatch.delenv("TORCHAO_TPU_INT4_XLA_MIN_M", raising=False)
+    assert _int4_xla_min_m() == 4096
+    monkeypatch.setenv("TORCHAO_TPU_INT4_XLA_MIN_M", "0")
+    assert _int4_xla_min_m() == 0
+    monkeypatch.setenv("TORCHAO_TPU_INT4_XLA_MIN_M", "256")
+    assert _int4_xla_min_m() == 256
+
+    rng = np.random.RandomState(11)
+    hp = {"w": jnp.asarray(rng.randn(256, 2048) * 0.05, jnp.float32)}
+    qw = quantize_(hp, Int4WeightOnlyConfig(group_size=32))["w"]
+    x = jnp.asarray(rng.randn(512, 2048) * 0.1, jnp.bfloat16)  # M >= 256
+    out_thresh = ops.linear(x, qw)
+    monkeypatch.setenv("TORCHAO_TPU_INT4_XLA_MIN_M", "0")
+    out_off = ops.linear(x, qw)
+    np.testing.assert_allclose(
+        np.asarray(out_thresh, np.float32),
+        np.asarray(out_off, np.float32),
+        rtol=0.05, atol=0.05,
+    )
