@@ -231,9 +231,16 @@ def main():
                 "vs_baseline": round(value / BASELINE_TOK_S, 4),
                 "ttft_p50_ms": round(res.get("ttft_p50_ms", 0.0), 1),
                 "effective_weight_bw_GBps": round(eff_bw, 1),
-                "structure_ceiling_GBps": STRUCTURE_CEILING_GBPS,
-                "pct_of_structure_ceiling": round(
-                    100 * eff_bw / STRUCTURE_CEILING_GBPS, 1
+                # the ceiling probe measured the Llama-3-8B launch
+                # structure; the fraction is only meaningful there
+                **(
+                    {
+                        "structure_ceiling_GBps": STRUCTURE_CEILING_GBPS,
+                        "pct_of_structure_ceiling": round(
+                            100 * eff_bw / STRUCTURE_CEILING_GBPS, 1
+                        ),
+                    }
+                    if name == "Llama-3-8B" else {}
                 ),
                 "probe_bw_GBps": round(device_bw, 1),
                 "weight_read_GB_per_tok": round(read_bytes / 1e9, 3),
