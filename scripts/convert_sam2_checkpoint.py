@@ -59,7 +59,12 @@ def load_params(npz_path: str):
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         v = flat[key]
-        node[parts[-1]] = int(v) if static else jnp.asarray(v)
+        if static:
+            from torchao_tpu.models.sam2_modeling import StaticInt
+
+            node[parts[-1]] = StaticInt(int(v))
+        else:
+            node[parts[-1]] = jnp.asarray(v)
 
     def listify(node):
         if not isinstance(node, dict):

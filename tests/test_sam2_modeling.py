@@ -225,3 +225,25 @@ def test_quantization_composes(model_and_params):
         labels=jnp.asarray([[1]]),
     )
     assert np.isfinite(np.asarray(masks, np.float32)).all()
+
+
+def test_predict_masks_jittable(model_and_params):
+    """The whole mask-prediction path compiles under jit: attention
+    `heads` leaves are StaticInt (value lives in the treedef, not a
+    traced scalar)."""
+    import functools
+
+    model, params = model_and_params
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    bo = model.forward_image(params, img)
+
+    @jax.jit
+    def run(params, feats):
+        bo2 = dict(bo, backbone_fpn=feats, vision_features=feats[-1])
+        pts = jnp.asarray([[[20.0, 24.0]]], jnp.float32)
+        lab = jnp.asarray([[1]], jnp.float32)
+        return model.predict_masks(
+            params, bo2, points=pts, labels=lab
+        )[0]
+    masks = run(params, bo["backbone_fpn"])
+    assert np.isfinite(np.asarray(masks)).all()

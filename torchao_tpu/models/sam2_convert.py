@@ -37,7 +37,7 @@ from typing import Any, Dict, List, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from torchao_tpu.models.sam2_modeling import SAM2Config
+from torchao_tpu.models.sam2_modeling import SAM2Config, StaticInt
 
 
 def _np(x):
@@ -118,7 +118,7 @@ def _attn(sd: _SD, prefix: str, heads: int) -> Dict[str, Any]:
         "wk": _lin(sd, prefix + ".k_proj"),
         "wv": _lin(sd, prefix + ".v_proj"),
         "wo": _lin(sd, prefix + ".out_proj"),
-        "heads": heads,
+        "heads": StaticInt(heads),
     }
 
 

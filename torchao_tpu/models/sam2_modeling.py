@@ -605,6 +605,20 @@ def prompt_encoder_forward(
 # ---------------------------------------------------------------------------
 
 
+class StaticInt(int):
+    """An int params leaf that stays STATIC under jit: registered as an
+    empty pytree whose value lives in the treedef, so ``jit`` never
+    traces it (attention ``heads`` would otherwise become a traced
+    scalar and break the head-split reshape)."""
+
+
+jax.tree_util.register_pytree_node(
+    StaticInt,
+    lambda x: ((), int(x)),
+    lambda aux, _: StaticInt(aux),
+)
+
+
 def _init_attention(key, d, heads, downsample=1):
     di = d // downsample
     ks = jax.random.split(key, 4)
@@ -613,7 +627,7 @@ def _init_attention(key, d, heads, downsample=1):
         "wk": _init_linear(ks[1], d, di),
         "wv": _init_linear(ks[2], d, di),
         "wo": _init_linear(ks[3], di, d),
-        "heads": heads,
+        "heads": StaticInt(heads),
     }
 
 
