@@ -11,6 +11,10 @@ mask decoder.
 
 Usage: python benchmarks/sam2_bench.py [--encoder vit_b] [--frames 4]
        [--batch 1] [--size 256] [--small]
+       [--full]  # run the FULL SAM2 architecture (models/sam2_modeling:
+                 # Hiera+FPN+prompt+two-way decoder+memory subsystem,
+                 # the checkpoint-compatible model) with jitted frame
+                 # steps instead of the compact benchmark model
 """
 
 from __future__ import annotations
@@ -41,6 +45,88 @@ from torchao_tpu.quantization.quant_api import (
 from torchao_tpu.utils import compute_error
 
 
+def run_full(args):
+    """Full-architecture SAM2 video propagation, jitted per frame."""
+    import functools
+
+    from torchao_tpu.models.sam2_modeling import (
+        HieraArgs, SAM2Config, SAM2Model,
+    )
+
+    cfg = SAM2Config(
+        image_size=args.size, d_model=64 if args.small else 256,
+        mem_dim=16 if args.small else 64, dec_heads=8,
+        num_mem_layers=2 if args.small else 4,
+        hiera=HieraArgs(
+            embed_dim=16 if args.small else 48, num_heads=1,
+            stages=(2, 1, 1, 1) if args.small else (1, 2, 7, 2),
+            window_spec=(4, 4, 4, 4) if args.small else (8, 4, 16, 8),
+            global_att_blocks=(1,) if args.small else (5, 7, 9),
+        ),
+    )
+    model = SAM2Model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    T = args.frames
+    frames = jax.random.uniform(
+        jax.random.PRNGKey(1), (T, args.size, args.size, 3), jnp.float32
+    )
+    pts = jnp.asarray([[[args.size * 0.4, args.size * 0.5]]], jnp.float32)
+    lab = jnp.asarray([[1]], jnp.float32)
+
+    @jax.jit
+    def first_frame(p, frame):
+        bo = model.forward_image(p, frame[None])
+        return model.track_step(p, bo, None, points=pts, labels=lab)
+
+    @jax.jit
+    def next_frame(p, frame, bank, bank_pos, ptrs):
+        bo = model.forward_image(p, frame[None])
+        return model.track_step(p, bo, (bank, bank_pos), obj_ptrs=ptrs)
+
+    def run(p):
+        t0 = time.perf_counter()
+        masks, iou, obj, (mt, mp, op) = first_frame(p, frames[0])
+        bank = jnp.tile(mt, (1, cfg.num_mem_frames, 1))
+        bank_pos = jnp.tile(mp, (1, cfg.num_mem_frames, 1))
+        ptrs = jnp.tile(op[:, None], (1, cfg.num_mem_frames, 1))
+        for t in range(1, T):
+            masks, iou, obj, (mt, mp, op) = next_frame(
+                p, frames[t], bank, bank_pos, ptrs
+            )
+            n = mt.shape[1]
+            bank = jnp.concatenate([bank[:, n:], mt], axis=1)
+            bank_pos = jnp.concatenate([bank_pos[:, n:], mp], axis=1)
+            ptrs = jnp.concatenate([ptrs[:, 1:], op[:, None]], axis=1)
+        float(jnp.sum(masks.astype(jnp.float32)))
+        return time.perf_counter() - t0, masks
+
+    def flt(path, w):
+        return (
+            hasattr(w, "ndim") and w.ndim == 2 and min(w.shape) >= 16
+        )
+
+    results = {}
+    _, ref_masks = run(params)
+    ts = [run(params)[0] for _ in range(args.iters)]
+    results["bf16"] = {"frames_per_s": round(T / min(ts), 3)}
+    qparams = quantize_(
+        params, Int8DynamicActivationInt8WeightConfig(), filter_fn=flt
+    )
+    _, q_masks = run(qparams)
+    ts = [run(qparams)[0] for _ in range(args.iters)]
+    results["int8dq"] = {
+        "frames_per_s": round(T / min(ts), 3),
+        "mask_logit_sqnr_db": round(float(compute_error(
+            ref_masks.astype(jnp.float32), q_masks.astype(jnp.float32)
+        )), 1),
+    }
+    print(json.dumps({
+        "metric": "sam2_full_architecture_video_propagation",
+        "d_model": cfg.d_model, "frames": T, "size": args.size,
+        **results,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--encoder", default="vit_b")
@@ -49,7 +135,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--full", action="store_true")
     args = ap.parse_args()
+
+    if args.full:
+        return run_full(args)
 
     if args.small:
         sargs = SAM2Args(encoder="vit_tiny_debug")
