@@ -793,6 +793,12 @@ def quantized_kv_decode_attention_bdq(
     while S % bs:
         bs //= 2
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    # tiny head dims (debug configs): the int8 kernel's band-extraction
+    # reshape [HG, H·Dh] → [HG, H, Dh] needs a ≥128 minor dim on Mosaic
+    # ("unsupported shape cast" at Dh=32, found by the serving --small
+    # TPU smoke) — emulate via interpret mode there (correctness path;
+    # production Dh=128 is unaffected)
+    interpret = interpret or Dh < 128
     n_s = S // bs
 
     # block-diagonal Q (tiny: B·HG·HDh bf16), built once per step in XLA
