@@ -36,9 +36,14 @@ def _flatten(tree, prefix=""):
     else:
         items = None
     if items is None:
-        if tree is not None and hasattr(tree, "shape"):
+        if tree is None:
+            # explicit sentinel so load_params round-trips None leaves
+            # (bias-less linears, out_proj when out_dim == in_dim) —
+            # dropping them made load_params KeyError (ADVICE r4)
+            out[prefix.rstrip(".") + "#none"] = np.zeros((), np.int8)
+        elif hasattr(tree, "shape"):
             out[prefix.rstrip(".")] = np.asarray(tree)
-        elif tree is not None:  # e.g. the per-attention "heads" int
+        else:  # e.g. the per-attention "heads" int
             out[prefix.rstrip(".") + "#static"] = np.asarray(tree)
         return out
     for k, v in items:
@@ -54,12 +59,17 @@ def load_params(npz_path: str):
     tree: dict = {}
     for key in flat.files:
         static = key.endswith("#static")
-        parts = key.removesuffix("#static").split(".")
+        none = key.endswith("#none")
+        parts = (
+            key.removesuffix("#static").removesuffix("#none").split(".")
+        )
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         v = flat[key]
-        if static:
+        if none:
+            node[parts[-1]] = None
+        elif static:
             from torchao_tpu.models.sam2_modeling import StaticInt
 
             node[parts[-1]] = StaticInt(int(v))

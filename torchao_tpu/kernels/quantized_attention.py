@@ -750,6 +750,16 @@ def _kernel_bdq_i4(
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref_s[:], 1e-30)
 
 
+def bdq_compiled_supported(head_dim: int) -> bool:
+    """True when the block-diagonal-Q decode kernel has a compiled
+    Mosaic route for this head dim. Sub-128 head dims hit an
+    "unsupported shape cast" on the [HG, H·Dh] → [HG, H, Dh] band
+    extraction (minor dim < 128); callers on real TPU should use the
+    head-major ``quantized_kv_decode_attention`` kernel instead
+    (ADVICE r4 medium)."""
+    return head_dim >= 128
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "bs", "interpret")
 )
@@ -793,12 +803,24 @@ def quantized_kv_decode_attention_bdq(
     while S % bs:
         bs //= 2
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
-    # tiny head dims (debug configs): the int8 kernel's band-extraction
-    # reshape [HG, H·Dh] → [HG, H, Dh] needs a ≥128 minor dim on Mosaic
+    # tiny head dims: the int8 kernel's band-extraction reshape
+    # [HG, H·Dh] → [HG, H, Dh] needs a ≥128 minor dim on Mosaic
     # ("unsupported shape cast" at Dh=32, found by the serving --small
-    # TPU smoke) — emulate via interpret mode there (correctness path;
-    # production Dh=128 is unaffected)
-    interpret = interpret or Dh < 128
+    # TPU smoke). On real TPU callers should route to the head-major
+    # kernel instead (see ``bdq_compiled_supported`` — model.py does);
+    # a direct call still works but falls back to interpret mode, with
+    # a loud warning since that is orders of magnitude slower.
+    if Dh < 128 and not interpret:
+        import warnings
+
+        warnings.warn(
+            "quantized_kv_decode_attention_bdq: head_dim "
+            f"{Dh} < 128 has no compiled Mosaic route; running in "
+            "interpret mode (very slow). Use "
+            "quantized_kv_decode_attention (head-major) instead.",
+            stacklevel=2,
+        )
+        interpret = True
     n_s = S // bs
 
     # block-diagonal Q (tiny: B·HG·HDh bf16), built once per step in XLA

@@ -722,7 +722,18 @@ def _attention(
             input_pos if getattr(input_pos, "ndim", 0) == 1
             else jnp.full((B,), input_pos, jnp.int32)
         )
-        if T == 1 and _pallas_attention_enabled():
+        from torchao_tpu.kernels.quantized_attention import (
+            bdq_compiled_supported,
+        )
+
+        # Sub-128 head dims have no compiled bdq route on Mosaic —
+        # keep a compiled path by falling through to the head-major
+        # kernel instead of silently interpreting (ADVICE r4 medium).
+        use_bdq = bdq_compiled_supported(Dh) or jax.default_backend() not in (
+            "tpu",
+            "axon",
+        )
+        if T == 1 and _pallas_attention_enabled() and use_bdq:
             from torchao_tpu.kernels.quantized_attention import (
                 quantized_kv_decode_attention_bdq,
             )

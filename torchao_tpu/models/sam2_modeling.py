@@ -182,6 +182,11 @@ def rotary_2d(q, k, hw: Tuple[int, int], theta=10000.0,
     qr = rot(q, ang[: q.shape[-2]])
     n_rope = k.shape[-2] - num_k_exclude
     if repeat_freqs_k and n_rope > h * w:
+        assert n_rope % (h * w) == 0, (
+            f"rotary_2d(repeat_freqs_k): rotated k count {n_rope} must "
+            f"be a multiple of the h*w grid {h * w} — a mis-packed "
+            "memory bank would get misaligned angles"
+        )
         r = n_rope // (h * w)
         ka = jnp.tile(ang, (r, 1))
     else:
@@ -1188,6 +1193,11 @@ class SAM2Model:
             # is oldest-first with N tokens per frame slot; the newest
             # slot gets maskmem_tpos_enc[0] (sam2_base.py:586)
             T = cfg.num_mem_frames
+            assert mem.shape[1] % T == 0, (
+                f"track_step: memory bank token count {mem.shape[1]} "
+                f"must be an exact multiple of num_mem_frames {T} "
+                "(N tokens per frame slot, oldest-first)"
+            )
             n_per = mem.shape[1] // T
             tpos = jnp.repeat(
                 params["maskmem_tpos_enc"][::-1, 0, 0, :], n_per, axis=0

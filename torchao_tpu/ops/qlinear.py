@@ -131,6 +131,8 @@ def _stacked_linear(x, w, bias, preference, layer_idx):
         from torchao_tpu.kernels import int4_matmul, int8_matmul
 
         min_m = _int4_xla_min_m()
+        if min_m and preference is KernelPreference.PALLAS:
+            min_m = 0  # explicit PALLAS preference overrides the heuristic
         if min_m and (w.quant_max - w.quant_min) <= 15:
             m_rows = 1
             for d in x.shape[:-1]:
@@ -386,7 +388,9 @@ def _impl_int4_weight_only(x, w: IntxArray, bias, preference):
     (PERF.md round-4 session 2). ``0`` disables (Pallas for every M).
     """
     min_m = _int4_xla_min_m()
-    if min_m:
+    # an explicit per-call PALLAS preference wins over the global
+    # prefill-shape heuristic (ADVICE r4): only AUTO/XLA take the route
+    if min_m and preference is not KernelPreference.PALLAS:
         m_rows = 1
         for d in x.shape[:-1]:
             m_rows *= int(d)

@@ -106,8 +106,15 @@ def _tiled_eff_qparams_chunked(
     g = int(group_size)
     nG = qe.shape[-2] // 4
     cb = 1024 // g if g and 1024 % g == 0 else 0
+    # geometries where the canonical chunk doesn't divide the group
+    # count (e.g. Llama-3.2-3B dim 3072: nG=48, cb=32) halve the chunk
+    # until it does — the merged-DMA decode stream is a measured win
+    # (round 3/4) and should not silently fall back to family-major
+    # just because the model dim isn't a 1024-multiple
+    while cb >= 8 and nG % cb:
+        cb //= 2
     if (
-        cb >= 8  # family slabs ≥8 sublanes (Mosaic slicing)
+        cb >= 8  # family slabs ≥ 8 sublanes (Mosaic slicing)
         and nG % cb == 0
         and os.environ.get("TORCHAO_TPU_QPARAMS_LAYOUT") != "family"
     ):
