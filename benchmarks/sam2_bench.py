@@ -39,10 +39,41 @@ from torchao_tpu.models.sam2 import (
     sam2_linear_filter,
 )
 from torchao_tpu.quantization.quant_api import (
+    Float8DynamicActivationFloat8WeightConfig,
+    Int4WeightOnlyConfig,
     Int8DynamicActivationInt8WeightConfig,
+    Int8WeightOnlyConfig,
     quantize_,
 )
+from torchao_tpu.quantization.granularity import PerRow
 from torchao_tpu.utils import compute_error
+
+
+def _flt_g32_factory(base):
+    def f(path, w):
+        return base(path, w) and w.shape[-1] % 32 == 0
+
+    return f
+
+
+# recipe name -> (config factory, filter override or None)
+_RECIPES = {
+    "int8dq": (Int8DynamicActivationInt8WeightConfig, None),
+    "int8wo": (Int8WeightOnlyConfig, None),
+    "fp8dq-row": (
+        lambda: Float8DynamicActivationFloat8WeightConfig(
+            granularity=PerRow()
+        ),
+        None,
+    ),
+    "int4wo-32": (
+        lambda: Int4WeightOnlyConfig(group_size=32),
+        _flt_g32_factory(
+            lambda p, w: hasattr(w, "ndim") and w.ndim == 2
+            and min(w.shape) >= 32
+        ),
+    ),
+}
 
 
 def run_full(args):
@@ -67,20 +98,25 @@ def run_full(args):
     model = SAM2Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     T = args.frames
+    B = args.batch
     frames = jax.random.uniform(
-        jax.random.PRNGKey(1), (T, args.size, args.size, 3), jnp.float32
+        jax.random.PRNGKey(1), (T, B, args.size, args.size, 3),
+        jnp.float32,
     )
-    pts = jnp.asarray([[[args.size * 0.4, args.size * 0.5]]], jnp.float32)
-    lab = jnp.asarray([[1]], jnp.float32)
+    pts = jnp.tile(
+        jnp.asarray([[[args.size * 0.4, args.size * 0.5]]], jnp.float32),
+        (B, 1, 1),
+    )
+    lab = jnp.tile(jnp.asarray([[1]], jnp.float32), (B, 1))
 
     @jax.jit
     def first_frame(p, frame):
-        bo = model.forward_image(p, frame[None])
+        bo = model.forward_image(p, frame)
         return model.track_step(p, bo, None, points=pts, labels=lab)
 
     @jax.jit
     def next_frame(p, frame, bank, bank_pos, ptrs):
-        bo = model.forward_image(p, frame[None])
+        bo = model.forward_image(p, frame)
         return model.track_step(p, bo, (bank, bank_pos), obj_ptrs=ptrs)
 
     def run(p):
@@ -108,20 +144,25 @@ def run_full(args):
     results = {}
     _, ref_masks = run(params)
     ts = [run(params)[0] for _ in range(args.iters)]
-    results["bf16"] = {"frames_per_s": round(T / min(ts), 3)}
-    qparams = quantize_(
-        params, Int8DynamicActivationInt8WeightConfig(), filter_fn=flt
-    )
-    _, q_masks = run(qparams)
-    ts = [run(qparams)[0] for _ in range(args.iters)]
-    results["int8dq"] = {
-        "frames_per_s": round(T / min(ts), 3),
-        "mask_logit_sqnr_db": round(float(compute_error(
-            ref_masks.astype(jnp.float32), q_masks.astype(jnp.float32)
-        )), 1),
-    }
+    results["bf16"] = {"frames_per_s": round(T * B / min(ts), 3)}
+    for name in args.recipes.split(","):
+        if not name or name == "bf16":
+            continue
+        cfgq, f = _RECIPES[name]
+        qparams = quantize_(params, cfgq(), filter_fn=f or flt)
+        _, q_masks = run(qparams)
+        ts = [run(qparams)[0] for _ in range(args.iters)]
+        results[name] = {
+            "frames_per_s": round(T * B / min(ts), 3),
+            "mask_logit_sqnr_db": round(float(compute_error(
+                ref_masks.astype(jnp.float32),
+                q_masks.astype(jnp.float32),
+            )), 1),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps({
         "metric": "sam2_full_architecture_video_propagation",
+        "batch": B,
         "d_model": cfg.d_model, "frames": T, "size": args.size,
         **results,
     }))
@@ -136,6 +177,10 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--full", action="store_true")
+    ap.add_argument(
+        "--recipes", default="int8dq",
+        help="comma list: " + ",".join(_RECIPES),
+    )
     args = ap.parse_args()
 
     if args.full:

@@ -121,8 +121,15 @@ def main():
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--model", default="3B", choices=list(GEOM))
+    ap.add_argument("--bn", type=int, default=None)
+    ap.add_argument("--bkp", type=int, default=None)
+    ap.add_argument("--arms", default="stub,real")
     args = ap.parse_args()
     g = GEOM[args.model]
+    if args.bn:
+        BLOCKS["bn"] = args.bn
+    if args.bkp:
+        BLOCKS["bkp"] = args.bkp
 
     key = jax.random.PRNGKey(0)
     ops, nbytes, key = make_operands(key, g)
@@ -130,7 +137,7 @@ def main():
     x0 = (jax.random.normal(key, (1, g["dim"])) * 0.1).astype(jnp.bfloat16)
 
     results = {}
-    for arm in ("stub", "real"):
+    for arm in args.arms.split(","):
         stub = arm == "stub"
 
         @jax.jit
@@ -151,16 +158,18 @@ def main():
         results[arm] = {"ms_per_step": best * 1e3, "GBps": gbps}
         print(json.dumps({arm: results[arm]}), flush=True)
 
-    frac = results["real"]["GBps"] / results["stub"]["GBps"]
     out = {
         "probe": f"int4_launch_structure_ceiling_{args.model}",
         "bytes_per_step_GB": nbytes / 1e9,
-        "stub_GBps": round(results["stub"]["GBps"], 1),
-        "real_GBps": round(results["real"]["GBps"], 1),
-        "real_vs_structure_ceiling": round(frac, 4),
-        "stub_ms": round(results["stub"]["ms_per_step"], 3),
-        "real_ms": round(results["real"]["ms_per_step"], 3),
+        "blocks": dict(BLOCKS),
     }
+    for arm, r in results.items():
+        out[f"{arm}_GBps"] = round(r["GBps"], 1)
+        out[f"{arm}_ms"] = round(r["ms_per_step"], 3)
+    if "stub" in results and "real" in results:
+        out["real_vs_structure_ceiling"] = round(
+            results["real"]["GBps"] / results["stub"]["GBps"], 4
+        )
     print(json.dumps(out), flush=True)
     with open(f"/tmp/ceiling_probe_{args.model}.json", "w") as f:
         json.dump(out, f, indent=1)

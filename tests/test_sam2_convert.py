@@ -525,3 +525,36 @@ def test_cli_npz_roundtrip(tmp_path):
             )
         else:
             assert v == leaves2[k2]
+
+
+def test_cli_none_leaf_roundtrip(tmp_path):
+    """None leaves (bias-less linears, optional out_proj) round-trip
+    through the ``#none`` sentinel instead of being dropped (ADVICE r4)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_sam2_checkpoint",
+        "/root/repo/scripts/convert_sam2_checkpoint.py",
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    tree = {
+        "proj": {"weight": np.ones((4, 4), np.float32), "bias": None},
+        "out_proj": None,
+        "blocks": [
+            {"w": np.zeros((2,), np.float32)},
+            {"w": np.ones((2,), np.float32), "b": None},
+        ],
+    }
+    flat = cli._flatten(tree)
+    assert any(k.endswith("#none") for k in flat)
+    path = str(tmp_path / "p.npz")
+    np.savez(path, **flat)
+    back = cli.load_params(path)
+    assert back["proj"]["bias"] is None
+    assert back["out_proj"] is None
+    assert back["blocks"][1]["b"] is None
+    np.testing.assert_array_equal(
+        np.asarray(back["proj"]["weight"]), tree["proj"]["weight"]
+    )

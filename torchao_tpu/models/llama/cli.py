@@ -334,6 +334,11 @@ def main(argv=None):
             print("autoquant decisions:", json.dumps(decisions, indent=1))
         else:
             params = quantize_(params, cfg, filter_fn=default_linear_filter)
+            from torchao_tpu.models.llama.init_utils import (
+                untie_quantized_head,
+            )
+
+            params = untie_quantized_head(params, margs, cfg)
     if args.embed_int8wo:
         from torchao_tpu.quantization.quant_api import Int8WeightOnlyConfig
 

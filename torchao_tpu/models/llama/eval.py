@@ -135,6 +135,11 @@ def main(argv=None):
                 "(calibration flows); eval supports plain PTQ configs"
             )
         params = quantize_(params, cfg, filter_fn=default_linear_filter)
+        from torchao_tpu.models.llama.init_utils import (
+            untie_quantized_head,
+        )
+
+        params = untie_quantized_head(params, margs, cfg)
 
     tokens = np.load(args.tokens)
     t0 = time.time()

@@ -1043,11 +1043,17 @@ def transformer_forward(
     if not head:
         return x, new_cache
     x = rms_norm(x, params["norm"]["weight"], args.norm_eps)
-    if args.tie_word_embeddings:
+    if args.tie_word_embeddings and "output" not in params:
+        # tied table read in full precision every step: 788 MB/step bf16
+        # on Llama-3.2-3B (profiled 1.04 ms = the single largest 3B
+        # decode op). quantize flows UNTIE the head (init_utils.
+        # untie_quantized_head) — the reference does the same: gpt-fast
+        # materializes ``output`` as a separate Linear that quantize_
+        # then converts, while the embedding stays high-precision
         logits = ops.linear(x, params["tok_embeddings"]["weight"])
     else:
         logits = ops.linear(x, params["output"]["weight"])
-        if args.tp_axis is not None:
+        if args.tp_axis is not None and not args.tie_word_embeddings:
             # column-parallel head: every shard holds V/m vocab rows —
             # gather the full logits (tiled along the vocab dim)
             logits = jax.lax.all_gather(
