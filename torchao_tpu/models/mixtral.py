@@ -51,6 +51,14 @@ moe_configs = {
         n_local_heads=2, dim=64, intermediate_size=128, rope_base=10000,
         num_experts=4, num_activated_experts=2,
     ),
+    # hardware benchmark scale (full 8x7B int4 is ~29 GB — over a v5e
+    # chip's HBM): Mixtral routing/expert structure at a dim that
+    # keeps every kernel shape production-legal (Dh=128, N%128==0)
+    "mixtral-essence": dict(
+        block_size=4096, vocab_size=32000, n_layer=16, n_head=16,
+        n_local_heads=8, dim=2048, intermediate_size=4096,
+        rope_base=1000000, num_experts=8, num_activated_experts=2,
+    ),
 }
 
 
@@ -117,11 +125,67 @@ def _moe_ffn(
     return out.reshape(B, T, D).astype(x.dtype)
 
 
+def _merge_expert_axis(w, E: int):
+    """[L, E, ...] expert stack -> [L·E, ...] (free leading reshape) so
+    a (layer, expert) pair indexes as the flat scalar ``l·E + e``
+    through the kernels' scalar-prefetch path."""
+    if isinstance(w, QuantizedArray):
+        return w.merge_leading(2)
+    return w.reshape((-1,) + w.shape[2:])
+
+
+def _moe_ffn_gathered(
+    x: jnp.ndarray, moe: Dict[str, Any], args: MoEModelArgs, layer_idx,
+):
+    """Decode MoE FFN that streams ONLY the routed experts (B·T == 1).
+
+    The reference's Mixtral harness conditionally computes just the
+    top-k experts per token (``_models/mixtral-moe/model.py`` forward);
+    the dense/ragged paths here instead read every expert's bytes —
+    fine for prefill/batch, 4× the HBM traffic a top-2-of-8 decode
+    step needs. TPU-natively the conditional gather is a scalar-prefetch
+    index: expert stacks [L, E, ...] merge to [L·E, ...] (free reshape)
+    and each routed expert's linear rides the SAME stacked Pallas path
+    as a dense-model layer, with flat index ``l·E + e`` (traced)."""
+    B, T, D = x.shape
+    E, K = args.num_experts, args.num_activated_experts
+    xt = x.reshape(-1, D)
+    assert xt.shape[0] == 1, "gathered mode is the single-token decode path"
+
+    router_logits = ops.linear(xt, moe["gate"], layer_idx=layer_idx)
+    weights = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_w, top_idx = jax.lax.top_k(weights, K)          # [1, K]
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    w1 = _merge_expert_axis(moe["w1"], E)
+    w2 = _merge_expert_axis(moe["w2"], E)
+    w3 = _merge_expert_axis(moe["w3"], E)
+
+    out = jnp.zeros((1, D), jnp.float32)
+    for j in range(K):
+        fl = layer_idx * E + top_idx[0, j]
+        h = jax.nn.silu(
+            ops.linear(xt, w1, layer_idx=fl).astype(jnp.float32)
+        ) * ops.linear(xt, w3, layer_idx=fl).astype(jnp.float32)
+        o = ops.linear(h.astype(x.dtype), w2, layer_idx=fl)
+        out = out + top_w[:, j, None] * o.astype(jnp.float32)
+    return out.reshape(B, T, D).astype(x.dtype)
+
+
 def moe_transformer_forward(
     params, tokens, input_pos, cache, freqs_full, args: MoEModelArgs,
     mask=None, moe_mode: str = "dense",
 ):
     B, T = tokens.shape
+    if moe_mode == "auto":
+        # single-token decode with the stacked smajor cache rides the
+        # routed-experts-only gathered path; everything else (prefill,
+        # batch) computes experts densely
+        smaj = (
+            isinstance(cache, dict) and "k_q" in cache
+            and cache["k_q"].ndim == 4
+        )
+        moe_mode = "gathered" if (B * T == 1 and smaj) else "dense"
     x = ops.embedding(params["tok_embeddings"]["weight"], tokens)
 
     # scalar OR per-slot vector input_pos (continuous-batching engine),
@@ -146,27 +210,80 @@ def moe_transformer_forward(
         else:
             mask = jnp.tril(jnp.ones((T, T), bool))
 
-    def body(x, layer_in):
-        lw, layer_cache = layer_in
-        h, new_cache = _attention(
-            rms_norm(x, lw["attention_norm"]["weight"], args.norm_eps),
-            lw["attention"], freqs, mask, layer_cache, input_pos, args,
+    if moe_mode == "gathered":
+        # decode-optimized stacked scan (mirrors the Llama forward):
+        # iterate over LAYER INDICES with the stacked weights closed
+        # over — quantized kernels index the layer (and routed expert)
+        # via scalar prefetch; scanning sliced weights would copy every
+        # weight per step (llama/model.py scan note)
+        lws = params["layers"]
+        layer_ids = jnp.arange(args.n_layer, dtype=jnp.int32)
+        smajor_stacked = (
+            cache is not None
+            and isinstance(cache, dict)
+            and "k_q" in cache
+            and cache["k_q"].ndim == 4
         )
-        x = x + h
-        x = x + _moe_ffn(
-            rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
-            lw["block_sparse_moe"], args, mode=moe_mode,
-        )
-        return x, new_cache
 
-    if cache is not None:
-        x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+        def body_g(carry, l):
+            x, c = carry
+            lc = c if smajor_stacked else (
+                None if c is None else jax.tree_util.tree_map(
+                    lambda a: a[l], c
+                )
+            )
+            h, lc2 = _attention(
+                rms_norm(
+                    x, lws["attention_norm"]["weight"][l], args.norm_eps
+                ),
+                lws["attention"], freqs, mask, lc, input_pos, args,
+                layer_idx=l, stacked_cache=smajor_stacked,
+            )
+            x = x + h
+            x = x + _moe_ffn_gathered(
+                rms_norm(x, lws["ffn_norm"]["weight"][l], args.norm_eps),
+                lws["block_sparse_moe"], args, l,
+            )
+            if smajor_stacked:
+                return (x, lc2), None
+            return (x, c), lc2
+
+        if smajor_stacked:
+            (x, new_cache), _ = jax.lax.scan(
+                body_g, (x, cache), layer_ids
+            )
+        elif cache is not None:
+            # per-layer cache trees can't be written back in-place from
+            # an index scan — gathered decode requires the stacked
+            # smajor cache (setup_caches(quantize="int8_smajor"))
+            raise ValueError(
+                "moe_mode='gathered' needs the stacked smajor KV cache"
+            )
+        else:
+            (x, _), _ = jax.lax.scan(body_g, (x, None), layer_ids)
+            new_cache = None
     else:
-        def body2(x, lw):
-            x, _ = body(x, (lw, None))
-            return x, None
+        def body(x, layer_in):
+            lw, layer_cache = layer_in
+            h, new_cache = _attention(
+                rms_norm(x, lw["attention_norm"]["weight"], args.norm_eps),
+                lw["attention"], freqs, mask, layer_cache, input_pos, args,
+            )
+            x = x + h
+            x = x + _moe_ffn(
+                rms_norm(x, lw["ffn_norm"]["weight"], args.norm_eps),
+                lw["block_sparse_moe"], args, mode=moe_mode,
+            )
+            return x, new_cache
 
-        x, new_cache = jax.lax.scan(body2, x, params["layers"])
+        if cache is not None:
+            x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+        else:
+            def body2(x, lw):
+                x, _ = body(x, (lw, None))
+                return x, None
+
+            x, new_cache = jax.lax.scan(body2, x, params["layers"])
 
     x = rms_norm(x, params["norm"]["weight"], args.norm_eps)
     logits = ops.linear(x, params["output"]["weight"])

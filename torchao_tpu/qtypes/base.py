@@ -145,6 +145,35 @@ class QuantizedArray:
                 updates[name] = v[l]
         return dataclasses.replace(self, **updates).unstack_layer()
 
+    def merge_leading(self, n: int = 2) -> "QuantizedArray":
+        """Merge the leading ``n`` stacked axes of every array leaf into
+        one (``[L, E, ...] -> [L*E, ...]``) and fix static metadata.
+
+        Free in XLA (contiguous leading reshape, no copy) — it lets a
+        scalar-prefetch kernel index a (layer, expert) pair as ONE flat
+        leading index ``l*E + e``, which is how the MoE gathered-decode
+        path streams only the routed experts' bytes
+        (models/mixtral.py ``_moe_ffn`` mode="gathered")."""
+        updates = {}
+        for name in self.__qarray_data_fields__:
+            v = getattr(self, name)
+            if isinstance(v, QuantizedArray):
+                updates[name] = v.merge_leading(n)
+            elif v is not None:
+                updates[name] = v.reshape((-1,) + v.shape[n:])
+        out = dataclasses.replace(self, **updates)
+        meta = {}
+        bs = getattr(self, "block_size", None)
+        if bs is not None and len(bs) > out._leaf_ndim():
+            meta["block_size"] = tuple(bs[n - 1:])
+        ls = getattr(self, "logical_shape", None)
+        if ls is not None and len(ls) > out._leaf_ndim():
+            merged = 1
+            for d in ls[:n]:
+                merged *= d
+            meta["logical_shape"] = (merged,) + tuple(ls[n:])
+        return dataclasses.replace(out, **meta) if meta else out
+
     def _leaf_ndim(self) -> int:
         """ndim of the primary data leaf (qdata) as currently stored."""
         for name in self.__qarray_data_fields__:
