@@ -54,6 +54,72 @@ from torchao_tpu.quantization.quant_api import (
 from torchao_tpu.utils import get_model_size_in_bytes
 
 
+def init_quantized_moe(model, config, key):
+    """Leaf-by-leaf random init + quantize (the llama init_utils
+    pattern): materializing the full bf16 MoE (~7 GB) plus quantize
+    copies OOMs the v5e — each leaf's hp weight lives only inside one
+    jit call."""
+    import math
+
+    from torchao_tpu.quantization.transform_module import (
+        get_quantize_handler,
+    )
+
+    a = model.args
+    D, I, E, L = a.dim, a.intermediate_size, a.num_experts, a.n_layer
+    H, Hkv, Dh, V = a.n_head, a.n_local_heads, a.head_dim, a.vocab_size
+    qkv_out = (H + 2 * Hkv) * Dh
+    dtype = model.dtype
+    handler = get_quantize_handler(config)
+
+    shapes = {
+        "tok_embeddings.weight": ((V, D), D, False),
+        "layers.attention.wqkv": ((L, qkv_out, D), D, True),
+        "layers.attention.wo": ((L, D, H * Dh), H * Dh, True),
+        "layers.block_sparse_moe.gate": ((L, E, D), D, False),
+        "layers.block_sparse_moe.w1": ((L, E, I, D), D, True),
+        "layers.block_sparse_moe.w3": ((L, E, I, D), D, True),
+        "layers.block_sparse_moe.w2": ((L, E, D, I), I, True),
+        "output.weight": ((V, D), D, True),
+    }
+
+    def make(name, k):
+        shape, fan_in, quant = shapes[name]
+
+        def init_fn(k):
+            w = (
+                jax.random.normal(k, shape, jnp.float32)
+                / math.sqrt(fan_in)
+            ).astype(dtype)
+            return handler(w, config) if quant else w
+
+        out = jax.jit(init_fn)(k)
+        jax.block_until_ready(out)
+        return out
+
+    ks = jax.random.split(key, len(shapes))
+    lv = {n: make(n, k) for n, k in zip(shapes, ks)}
+    return {
+        "tok_embeddings": {"weight": lv["tok_embeddings.weight"]},
+        "layers": {
+            "attention": {
+                "wqkv": lv["layers.attention.wqkv"],
+                "wo": lv["layers.attention.wo"],
+            },
+            "block_sparse_moe": {
+                "gate": lv["layers.block_sparse_moe.gate"],
+                "w1": lv["layers.block_sparse_moe.w1"],
+                "w3": lv["layers.block_sparse_moe.w3"],
+                "w2": lv["layers.block_sparse_moe.w2"],
+            },
+            "attention_norm": {"weight": jnp.ones((L, D), dtype)},
+            "ffn_norm": {"weight": jnp.ones((L, D), dtype)},
+        },
+        "norm": {"weight": jnp.ones((D,), dtype)},
+        "output": {"weight": lv["output.weight"]},
+    }
+
+
 def active_bytes_per_token(params, args: MoEModelArgs) -> float:
     """HBM bytes a routed decode step must read: full attention/head
     weights + top-k of E experts."""
@@ -92,13 +158,11 @@ def main():
     model = MoETransformer(margs, dtype=jnp.bfloat16)
 
     t0 = time.time()
-    params = model.init_params(jax.random.PRNGKey(0))
-    params = quantize_(
-        params, Int4WeightOnlyConfig(group_size=32),
-        filter_fn=moe_linear_filter,
+    params = init_quantized_moe(
+        model, Int4WeightOnlyConfig(group_size=32), jax.random.PRNGKey(0)
     )
     jax.block_until_ready(params)
-    print(f"init+quantize: {time.time()-t0:.1f}s", flush=True)
+    print(f"init+quantize (leaf-by-leaf): {time.time()-t0:.1f}s", flush=True)
 
     model_gb = get_model_size_in_bytes(params) / 1e9
     act_gb = active_bytes_per_token(params, margs) / 1e9

@@ -526,6 +526,7 @@ def _kernel_bdq(
     out_ref,  # [1, H·G, Dh] f32
     m_ref, l_ref_s, acc_ref,
     *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
+    stub: bool = False,
 ):
     """Block-diagonal-Q flash decode on the split flat cache.
 
@@ -564,6 +565,32 @@ def _kernel_bdq(
     pos = pos_ref[pl.program_id(0)]
     block_start = s * bs
     H, G = n_heads, qbd_ref.shape[1] // n_heads
+
+    if stub:
+        # CEILING PROBE ONLY (wrong math): identical launches, blocks
+        # and streams — both fat dots run on the raw bytes — but the
+        # softmax/scale/band work is stubbed out. real≈stub ⇒ the
+        # attention stream's rate is launch/DMA-structural; real≪stub
+        # ⇒ kernel-side compute steals streaming time.
+        @pl.when(block_start <= pos)
+        def _():
+            raw = jax.lax.dot_general(
+                qbd_ref[0], kq_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # [HG, bs]
+            wide = jax.lax.dot_general(
+                raw.astype(jnp.bfloat16), vq_ref[0, 0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # [HG, HDh]
+            acc_ref[:] += wide[:, :dh]
+            l_ref_s[:] += ks_ref[0, 0, :1, :1] + vs_ref[0, 0, :1, :1]
+
+        @pl.when(s == n_s_blocks - 1)
+        def _():
+            out_ref[0] = acc_ref[:] + l_ref_s[:]
+
+        return
 
     @pl.when(block_start <= pos)
     def _():
@@ -623,6 +650,7 @@ def _kernel_bdq_i4(
     out_ref,  # [1, H·G, Dh] f32
     m_ref, l_ref_s, acc_ref,
     *, bs: int, scale: float, n_s_blocks: int, n_heads: int, dh: int,
+    stub: bool = False,
 ):
     """Packed-int4 variant of ``_kernel_bdq`` — HALF the cache bytes at
     the same fat-block streaming shape (the long-context capacity
@@ -650,6 +678,34 @@ def _kernel_bdq_i4(
     pos = pos_ref[pl.program_id(0)]
     block_start = s * bs
     H, G = n_heads, qlo_ref.shape[1] // n_heads
+
+    if stub:
+        # CEILING PROBE ONLY (wrong math) — see ``_kernel_bdq``: same
+        # launches/blocks/streams, one unpack + two fat dots, no
+        # softmax/rebias/band work
+        @pl.when(block_start <= pos)
+        def _():
+            kb = kq_ref[0, 0]
+            k_lo = (kb & jnp.uint8(0xF)).astype(jnp.int8)
+            raw = jax.lax.dot_general(
+                qlo_ref[0], k_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # [HG, bs]
+            vb = vq_ref[0, 0]
+            v_lo = (vb & jnp.uint8(0xF)).astype(jnp.int8)
+            wide = jax.lax.dot_general(
+                raw.astype(jnp.bfloat16), v_lo,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # [HG, HD2]
+            acc_ref[:] += wide[:, :dh]
+            l_ref_s[:] += ks_ref[0, 0, :1, :1] + vs_ref[0, 0, :1, :1]
+
+        @pl.when(s == n_s_blocks - 1)
+        def _():
+            out_ref[0] = acc_ref[:] + l_ref_s[:]
+
+        return
 
     @pl.when(block_start <= pos)
     def _():
@@ -761,7 +817,7 @@ def bdq_compiled_supported(head_dim: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "bs", "interpret")
+    jax.jit, static_argnames=("scale", "bs", "interpret", "stub")
 )
 def quantized_kv_decode_attention_bdq(
     q: jnp.ndarray,        # [B, Hkv, G, Dh] bf16 — decode (T=1)
@@ -775,6 +831,7 @@ def quantized_kv_decode_attention_bdq(
     bs: int = 1024,
     interpret: bool = False,
     layer_idx=None,
+    stub: bool = False,  # CEILING PROBE ONLY: same streams, wrong math
 ) -> jnp.ndarray:
     """Block-diagonal-Q flash decode on the split flat cache (see
     ``_kernel_bdq``). Returns [B, Hkv, G, Dh] f32. Decode-only (T=1);
@@ -869,7 +926,7 @@ def quantized_kv_decode_attention_bdq(
         )
         kernel = functools.partial(
             _kernel_bdq_i4, bs=bs, scale=scale, n_s_blocks=n_s,
-            n_heads=H, dh=Dh,
+            n_heads=H, dh=Dh, stub=stub,
         )
         out_call = pl.pallas_call(
             kernel,
@@ -897,7 +954,7 @@ def quantized_kv_decode_attention_bdq(
     )
     kernel = functools.partial(
         _kernel_bdq, bs=bs, scale=scale, n_s_blocks=n_s,
-        n_heads=H, dh=Dh,
+        n_heads=H, dh=Dh, stub=stub,
     )
     out_call = pl.pallas_call(
         kernel,

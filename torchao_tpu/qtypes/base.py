@@ -184,11 +184,16 @@ class QuantizedArray:
 
     # --- convenience ------------------------------------------------------
     def nbytes(self) -> int:
-        return sum(
-            getattr(self, name).size * getattr(self, name).dtype.itemsize
-            for name in self.__qarray_data_fields__
-            if getattr(self, name) is not None
-        )
+        total = 0
+        for name in self.__qarray_data_fields__:
+            v = getattr(self, name)
+            if v is None:
+                continue
+            if isinstance(v, QuantizedArray):  # nested (LAQT, Fp6Dual)
+                total += v.nbytes()
+            else:
+                total += v.size * v.dtype.itemsize
+        return total
 
     def _replace(self, **updates):
         return dataclasses.replace(self, **updates)
