@@ -39,7 +39,11 @@ from torchao_tpu.quantization.transform_module import get_quantize_handler
 
 
 def main():
-    L, N, K = 32, 28672, 4096  # 8B w13 stack
+    # a QUARTER of the 8B w13 stack: the full [32, 28672, 4096] leaf's
+    # quantize temps exceed HBM in one jit (the model init quantizes in
+    # chunks for the same reason — init_utils); replank/quantize are
+    # bytes-linear so the full-model number extrapolates
+    L, N, K = 8, 28672, 4096
     # runtime="packed": the true 6-bit at-rest form (what a checkpoint
     # stores); the default "dual" would replank at quantize time
     cfg = FPXWeightOnlyConfig(ebits=3, mbits=2, runtime="packed")

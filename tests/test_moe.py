@@ -167,3 +167,38 @@ class TestRaggedMode:
         ))
         out, _ = model_ragged(qparams, toks)
         assert compute_error(ref, out) > 30
+
+
+def test_gathered_matches_dense_decode():
+    """mode='gathered' (routed-experts-only decode via merge_leading +
+    scalar-prefetch flat indexing) is EXACT vs the dense path — the
+    hardware A/B put it at 475 vs 63 tok/s on mixtral-essence (7.6x:
+    dense/ragged stream every expert's bytes each step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchao_tpu.models.mixtral import MoETransformer, moe_linear_filter
+    from torchao_tpu.quantization.quant_api import (
+        Int4WeightOnlyConfig,
+        quantize_,
+    )
+
+    m = MoETransformer.from_name("tiny-moe", dtype=jnp.float32)
+    p = m.init_params(jax.random.PRNGKey(0))
+    pq = quantize_(
+        p, Int4WeightOnlyConfig(group_size=32),
+        filter_fn=moe_linear_filter,
+    )
+    tok = jnp.asarray([[7]], jnp.int32)
+    for params in (p, pq):
+        m.moe_mode = "dense"
+        lg_d, _ = m(params, tok, 0, None)
+        m.moe_mode = "gathered"
+        lg_g, _ = m(params, tok, 0, None)
+        err = float(jnp.max(jnp.abs(lg_d - lg_g)))
+        assert err < 1e-4, err
+    # auto picks gathered for T=1 + smajor cache and runs end-to-end
+    m.moe_mode = "auto"
+    cache = m.setup_caches(1, 32, quantize="int8_smajor")
+    lg, cache = m(pq, tok, 3, cache)
+    assert lg.shape[-1] == m.args.vocab_size
