@@ -83,8 +83,9 @@ def main():
     params = model_tr.init_params(jax.random.PRNGKey(0))
     t0 = time.time()
     params, loss = train_tiny_llama(
-        model_tr, params, train, steps=args.steps, seq_len=64, batch=8,
-        lr=optax.cosine_decay_schedule(3e-4, args.steps), seed=0,
+        model_tr, params, train, steps=args.steps, seq_len=64, batch=4,
+        lr=optax.cosine_decay_schedule(1e-2, args.steps), seed=0,
+        optimizer="adafactor",  # AdamW moments OOM at this width
     )
     print(json.dumps({
         "trained": f"{L}x4096 (8B layer geometry, bf16)",

@@ -132,12 +132,23 @@ def train_tiny_llama(
     batch: int = 16,
     lr: float = 3e-3,
     seed: int = 0,
+    optimizer: str = "adamw",
 ) -> Dict[str, Any]:
-    """Minimal AdamW next-token training loop (CPU-friendly; used only to
-    produce a model whose ppl is meaningfully below uniform)."""
+    """Minimal next-token training loop (CPU-friendly; used only to
+    produce a model whose ppl is meaningfully below uniform).
+    ``optimizer="sgd"`` keeps no moments — the only way a ~1.7B-param
+    bf16 model (8B layer width) trains inside one v5e's HBM
+    (scripts/spec_earlyexit_8b.py)."""
     import optax
 
-    opt = optax.adamw(lr)
+    if optimizer == "sgd":
+        opt = optax.sgd(lr)
+    elif optimizer == "adafactor":
+        # factored second moments: ~O(rows+cols) state instead of
+        # AdamW's 2x params — trains the 8B-width model in HBM
+        opt = optax.adafactor(learning_rate=lr)
+    else:
+        opt = optax.adamw(lr)
     opt_state = opt.init(params)
     rs = np.random.RandomState(seed)
 
