@@ -21,6 +21,11 @@ sys.path.insert(
 )
 
 import jax
+
+try:  # persistent compile cache (works over the axon tunnel)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,8 +34,12 @@ from torchao_tpu.models.sam import (
     benchmark_images_per_s,
     sam_linear_filter,
 )
+from torchao_tpu.quantization.granularity import PerRow
 from torchao_tpu.quantization.quant_api import (
+    Float8DynamicActivationFloat8WeightConfig,
+    Int4WeightOnlyConfig,
     Int8DynamicActivationInt8WeightConfig,
+    Int8WeightOnlyConfig,
     quantize_,
 )
 from torchao_tpu.sparsity import SemiSparseWeightConfig, sparsify_
@@ -48,6 +57,10 @@ def main():
     ap.add_argument("--model", default="vit_b")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--recipes", default="",
+        help="comma list to run (default: the reference sparsity table)",
+    )
     args = ap.parse_args()
 
     model = SamImageEncoder.from_name(args.model, dtype=jnp.bfloat16)
@@ -72,7 +85,27 @@ def main():
             Int8DynamicActivationInt8WeightConfig(),
             sam_linear_filter,
         ),
+        # pure memory plays (VERDICT r4 #4: does ANY quant config win at
+        # ViT shapes, or is the encoder compute-bound everywhere?)
+        "int8wo": lambda p: quantize_(
+            p, Int8WeightOnlyConfig(), sam_linear_filter
+        ),
+        "fp8dq-row": lambda p: quantize_(
+            p,
+            Float8DynamicActivationFloat8WeightConfig(
+                granularity=PerRow()
+            ),
+            sam_linear_filter,
+        ),
+        "int4wo-32": lambda p: quantize_(
+            p, Int4WeightOnlyConfig(group_size=32),
+            lambda path, w: sam_linear_filter(path, w)
+            and min(w.shape) >= 32 and w.shape[-1] % 32 == 0,
+        ),
     }
+    if args.recipes:
+        want = ["bf16"] + args.recipes.split(",")
+        recipes = {k: v for k, v in recipes.items() if k in want}
 
     base_ips = None
     for name, fn in recipes.items():

@@ -23,6 +23,11 @@ sys.path.insert(
 import time
 
 import jax
+
+try:  # persistent compile cache (works over the axon tunnel)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
