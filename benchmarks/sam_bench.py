@@ -99,8 +99,10 @@ def main():
         ),
         "int4wo-32": lambda p: quantize_(
             p, Int4WeightOnlyConfig(group_size=32),
+            # weights may be layer-stacked [L, out, in]: gate on the
+            # matmul dims (last two), not the stack dim
             lambda path, w: sam_linear_filter(path, w)
-            and min(w.shape) >= 32 and w.shape[-1] % 32 == 0,
+            and min(w.shape[-2:]) >= 32 and w.shape[-1] % 32 == 0,
         ),
     }
     if args.recipes:

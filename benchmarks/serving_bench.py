@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--max-seq", type=int, default=256)
+    ap.add_argument(
+        "--group-size", type=int, default=32,
+        help="int4wo group size (128 widens the grouped-dot contraction "
+        "to the MXU-native width — the B>=16 serving relief, PERF.md)",
+    )
     ap.add_argument("--small", action="store_true")
     ap.add_argument(
         "--kv-quant", default="int8",
@@ -68,7 +73,7 @@ def main():
 
         params = quantize_(
             model.init_params(jax.random.PRNGKey(0)),
-            Int4WeightOnlyConfig(group_size=32),
+            Int4WeightOnlyConfig(group_size=args.group_size),
             default_linear_filter,
         )
     else:
@@ -79,7 +84,7 @@ def main():
         margs.block_size = min(margs.block_size, 4096)
         model = Transformer(margs, dtype=jnp.bfloat16)
         params = init_quantized_llama(
-            model, Int4WeightOnlyConfig(group_size=32),
+            model, Int4WeightOnlyConfig(group_size=args.group_size),
             default_linear_filter, jax.random.PRNGKey(0),
         )
 
@@ -163,6 +168,7 @@ def main():
         "new_tokens": args.new_tokens,
         "chunk": args.chunk,
         "kv_quant": args.kv_quant,
+        "group_size": args.group_size,
         "total_tokens": total,
         "wall_s": round(dt, 2),
         "value": round(total / dt, 2),

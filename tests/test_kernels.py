@@ -684,6 +684,38 @@ def test_int8wo_stacked_layer_idx_matches():
             np.asarray(single, np.float32), rtol=0, atol=2e-6,
         )
 
+def test_int8wo_no_partial_k_block():
+    """K not a multiple of the default bk (e.g. SAM fc2's K=3072 vs
+    bk=2048) must not leave a PARTIAL trailing K block: on hardware the
+    out-of-bounds pad is undefined and corrupts every row's
+    accumulation (found via NaN SAM int8wo outputs on TPU, round 5).
+    The kernel now halves bk until it divides K; exactness checked in
+    interpret mode, and the grid rule directly."""
+    from torchao_tpu.kernels.int8_matmul import int8wo_mixed_matmul
+
+    rng = np.random.RandomState(7)
+    for N, K in [(768, 3072), (256, 1536)]:
+        x = jnp.asarray(rng.randn(16, K), jnp.bfloat16)
+        wq = jnp.asarray(rng.randint(-127, 128, (N, K)), jnp.int8)
+        ws = jnp.asarray(rng.rand(N) * 0.02 + 0.01, jnp.float32)
+        out = int8wo_mixed_matmul(x, wq, ws, interpret=True)
+        ref = (
+            x.astype(jnp.float32)
+            @ (wq.astype(jnp.float32) * ws[:, None]).T
+        )
+        sqnr = 10 * np.log10(
+            float(jnp.sum(ref**2))
+            / max(float(jnp.sum((ref - out.astype(jnp.float32)) ** 2)),
+                  1e-30)
+        )
+        assert sqnr > 30, (N, K, sqnr)
+        # the block rule itself: the chosen bk must divide K
+        bk = min(2048, K)
+        while K % bk:
+            bk //= 2
+        assert K % bk == 0 and bk >= 128
+
+
 def test_int4_merged_qparams_block_major_layout():
     """Eligible shapes (Kp % 1024 == 0) store qparams_eff in the chunked
     block-major layout (qparams_eff_chunk set) and the merged-DMA

@@ -192,6 +192,11 @@ def fp8_mixed_matmul(
 
     bn = min(bn, N)
     bk = min(bk, K)
+    # a PARTIAL trailing K block reads out-of-bounds pad (undefined on
+    # hardware) into the shared accumulation — halve bk until it divides
+    # (partial M/N blocks only garbage clipped pad rows/cols; K must not)
+    while K % bk:
+        bk //= 2
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)
     bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8

@@ -229,6 +229,12 @@ def int8wo_mixed_matmul(
     assert K == K2, (K, K2)
     bn = min(bn, N)
     bk = min(bk, K)
+    # a PARTIAL trailing K block reads out-of-bounds pad (undefined on
+    # hardware) into the shared accumulation — halve bk until it divides
+    # (same rule as int8_scaled_matmul; partial M/N blocks are harmless:
+    # their garbage lands only in clipped pad rows/cols)
+    while K % bk:
+        bk //= 2
     if bm is None:
         bm = 8 if M <= 8 else min(256, M)
     bm = min(bm, M) if (M % 8 == 0 or M < 8) else 8
