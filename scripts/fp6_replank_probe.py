@@ -59,15 +59,21 @@ def main():
     quant_s = time.time() - t0
     atrest_bits = fx.nbytes() * 8 / (L * N * K)
 
-    # the measured one-time load step: 6-bit shards -> dual planes
+    # the measured one-time load step: 6-bit shards -> dual planes.
+    # SYNC RULE (CLAUDE.md): block_until_ready may return early over the
+    # axon tunnel — always fetch a VALUE to fence the timing.
+    def _fence(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
     replank = jax.jit(lambda a: a.to_dual_planes())
     t0 = time.time()
     dual = replank(fx)
-    jax.block_until_ready(dual)
+    _fence(dual)
     first_s = time.time() - t0  # includes compile
     t0 = time.time()
     dual = replank(fx)
-    jax.block_until_ready(dual)
+    _fence(dual)
     steady_s = time.time() - t0
     dual_bits = dual.nbytes() * 8 / (L * N * K)
 
