@@ -141,25 +141,41 @@ def run_full(args):
             hasattr(w, "ndim") and w.ndim == 2 and min(w.shape) >= 16
         )
 
-    results = {}
-    _, ref_masks = run(params)
-    ts = [run(params)[0] for _ in range(args.iters)]
-    results["bf16"] = {"frames_per_s": round(T * B / min(ts), 3)}
+    # INTERLEAVED timing: the tunnel's throughput drifts monotonically
+    # upward over a process's first minutes, so back-to-back per-recipe
+    # loops systematically favor whichever recipe runs last (round-5
+    # variance hunt: bf16 read 624 f/s timed first and 1458 timed last
+    # in the same config while quantized rows were stable ±5%).
+    # Round-robin the recipes so every epoch prices every recipe, then
+    # take each recipe's min across rounds.
+    arms = [("bf16", params)]
+    sqnrs = {}
+    _, ref_masks = run(params)  # compile bf16
     for name in args.recipes.split(","):
         if not name or name == "bf16":
             continue
         cfgq, f = _RECIPES[name]
         qparams = quantize_(params, cfgq(), filter_fn=f or flt)
-        _, q_masks = run(qparams)
-        ts = [run(qparams)[0] for _ in range(args.iters)]
-        results[name] = {
-            "frames_per_s": round(T * B / min(ts), 3),
-            "mask_logit_sqnr_db": round(float(compute_error(
-                ref_masks.astype(jnp.float32),
-                q_masks.astype(jnp.float32),
-            )), 1),
-        }
-        print(json.dumps({name: results[name]}), flush=True)
+        _, q_masks = run(qparams)  # compile + output for SQNR
+        arms.append((name, qparams))
+        sq = round(float(compute_error(
+            ref_masks.astype(jnp.float32), q_masks.astype(jnp.float32)
+        )), 1)
+        print(json.dumps({name: {"mask_logit_sqnr_db": sq}}), flush=True)
+        sqnrs[name] = sq
+    best = {name: float("inf") for name, _ in arms}
+    for it in range(args.iters):
+        for name, p in arms:
+            best[name] = min(best[name], run(p)[0])
+        print(json.dumps({
+            "round": it,
+            **{n: round(T * B / best[n], 3) for n, _ in arms},
+        }), flush=True)
+    results = {}
+    for name, _ in arms:
+        results[name] = {"frames_per_s": round(T * B / best[name], 3)}
+        if name != "bf16":
+            results[name]["mask_logit_sqnr_db"] = sqnrs[name]
     print(json.dumps({
         "metric": "sam2_full_architecture_video_propagation",
         "batch": B,
